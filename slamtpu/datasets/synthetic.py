@@ -1,0 +1,141 @@
+"""Synthetic rendered scenes with exact ground truth.
+
+Renders Gaussian-blob views of a random 3D point cloud from a moving camera.
+Used by the end-to-end pipeline tests (SURVEY.md section 4: "pipeline tests
+with a synthetic rendered scene where ground truth is exact") and by bench.py
+when no KITTI data is present.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .. import hostmath as hm
+from ..camera import Camera
+
+
+@dataclass
+class SyntheticScene:
+    camera: Camera
+    poses_wc: List[np.ndarray]          # ground-truth camera->world poses
+    timestamps: np.ndarray
+    points: np.ndarray                  # (M, 3) world point cloud
+    right_camera: Optional[Camera] = None
+    stereo: bool = False
+    _stamp_cache: dict = field(default_factory=dict)
+
+    def __len__(self):
+        return len(self.poses_wc)
+
+    def _stamp(self, sigma: float, radius: int):
+        key = (round(sigma, 3), radius)
+        if key not in self._stamp_cache:
+            ax = np.arange(-radius, radius + 1, dtype=np.float64)
+            self._stamp_cache[key] = (ax, sigma)
+        return self._stamp_cache[key]
+
+    def render(self, pose_wc: np.ndarray, camera: Camera,
+               extrinsic: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render the blob cloud from a camera pose; (H, W) f32 in [0, 1]."""
+        h, w = camera.height, camera.width
+        cw = hm.se3_inv(pose_wc)
+        if extrinsic is not None:
+            cw = extrinsic @ cw
+        pc = self.points @ cw[:3, :3].T + cw[:3, 3]
+        vis = pc[:, 2] > 0.5
+        pc = pc[vis]
+        inv_z = 1.0 / pc[:, 2]
+        ys = camera.fy * pc[:, 1] * inv_z + camera.cy
+        xs = camera.fx * pc[:, 0] * inv_z + camera.cx
+
+        img = np.zeros((h, w), np.float64)
+        radius = 4
+        ax = np.arange(-radius, radius + 1, dtype=np.float64)
+        # Per-point intensity/size keyed by point index for stable appearance.
+        rng_amp = self._point_amps[vis]
+        rng_sig = self._point_sigmas[vis]
+        for y, x, a, s in zip(ys, xs, rng_amp, rng_sig):
+            iy, ix = int(np.floor(y)), int(np.floor(x))
+            if iy < -radius or iy >= h + radius or ix < -radius or ix >= w + radius:
+                continue
+            gy = np.exp(-0.5 * ((ax - (y - iy)) / s) ** 2)
+            gx = np.exp(-0.5 * ((ax - (x - ix)) / s) ** 2)
+            stamp = a * gy[:, None] * gx[None, :]
+            y0, y1 = iy - radius, iy + radius + 1
+            x0, x1 = ix - radius, ix + radius + 1
+            sy0, sx0 = max(0, -y0), max(0, -x0)
+            sy1 = stamp.shape[0] - max(0, y1 - h)
+            sx1 = stamp.shape[1] - max(0, x1 - w)
+            if sy1 <= sy0 or sx1 <= sx0:
+                continue
+            img[max(0, y0):min(h, y1), max(0, x0):min(w, x1)] += (
+                stamp[sy0:sy1, sx0:sx1]
+            )
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+    def frame(self, i: int):
+        left = self.render(self.poses_wc[i], self.camera)
+        if not self.stereo:
+            return left, None
+        right = self.render(
+            self.poses_wc[i], self.right_camera,
+            extrinsic=self.right_camera.Ti0,
+        )
+        return left, right
+
+
+def make_scene(n_frames: int = 30, height: int = 240, width: int = 320,
+               n_points: int = 1500, stereo: bool = False,
+               baseline: float = 0.5, seed: int = 0,
+               motion: str = "strafe") -> SyntheticScene:
+    """Random blob cloud + camera trajectory with exact ground truth.
+
+    motion: "strafe" (sideways x-translation, good parallax) or "forward".
+    """
+    rng = np.random.default_rng(seed)
+    fx = fy = 0.9 * width
+    cx, cy = width / 2.0, height / 2.0
+    camera = Camera(fx, fy, cx, cy, height, width)
+    right_camera = None
+    if stereo:
+        Ti0 = np.eye(4)
+        Ti0[0, 3] = -baseline  # right camera at +x in world: x_r = x - b
+        right_camera = Camera(fx, fy, cx, cy, height, width, Ti0=Ti0)
+
+    # Point cloud in a slab in front of the initial camera.
+    span_x = 0.9 * width / fx
+    span_y = 0.9 * height / fy
+    depths = rng.uniform(8.0, 30.0, n_points)
+    points = np.stack(
+        [
+            rng.uniform(-span_x, 2.5 * span_x, n_points) * depths,
+            rng.uniform(-span_y, span_y, n_points) * depths,
+            depths,
+        ],
+        axis=-1,
+    )
+
+    poses = []
+    for i in range(n_frames):
+        wc = np.eye(4)
+        if motion == "strafe":
+            wc[0, 3] = 0.12 * i
+            wc[2, 3] = 0.02 * i
+        else:
+            wc[2, 3] = 0.12 * i
+            wc[0, 3] = 0.02 * i
+        poses.append(wc)
+
+    scene = SyntheticScene(
+        camera=camera,
+        poses_wc=poses,
+        timestamps=np.arange(n_frames, dtype=np.float64) * 0.1,
+        points=points,
+        right_camera=right_camera,
+        stereo=stereo,
+    )
+    scene._point_amps = rng.uniform(0.4, 1.0, n_points)
+    scene._point_sigmas = rng.uniform(0.9, 1.8, n_points)
+    return scene

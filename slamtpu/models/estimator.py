@@ -1,0 +1,314 @@
+"""Estimator: local bundle adjustment over the covisibility window + map
+filtering.
+
+Port of reference src/estimator.jl. The BA problem is assembled on the host
+into padded observation lists (pose/point order ids, constancy flags —
+mirroring _get_ba_parameters, estimator.jl:143-266) and solved by the
+Schur-complement LM device kernel (slamtpu.ops.ba); results are written back
+with the same outlier-pruning cascade (:268-306).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.ba import local_bundle_adjustment
+from ..params import Params
+from ..utils.padding import next_bucket
+from .frame import Frame
+from .map_manager import MapManager
+
+log = logging.getLogger("slamtpu.es")
+
+
+class Estimator:
+    def __init__(self, map_manager: MapManager, params: Params, slam_io=None):
+        self.map_manager = map_manager
+        self.params = params
+        self.slam_io = slam_io
+        self.frame_queue = []
+        self.new_kf_available = False
+        self.exit_required = False
+
+    # -- queue (estimator.jl:117-141) ------------------------------------------
+
+    def add_new_kf(self, frame: Frame):
+        self.frame_queue.append(frame)
+        self.new_kf_available = True
+
+    def get_new_kf(self) -> Optional[Frame]:
+        if not self.frame_queue:
+            self.new_kf_available = False
+            return None
+        self.new_kf_available = False
+        return self.frame_queue.pop(0)
+
+    # -- processing (estimator.jl:79-110) ---------------------------------------
+
+    def process(self, new_kf: Frame):
+        if self.params.do_local_bundle_adjustment and new_kf.kfid >= 2:
+            with self.map_manager.optimization_lock:
+                self.local_bundle_adjustment(new_kf)
+        if self.params.map_filtering:
+            self.map_filtering(new_kf)
+
+    # -- BA problem assembly (estimator.jl:143-266) ------------------------------
+
+    def _get_ba_parameters(self, frame: Frame,
+                           covisibility_map: Dict[int, int],
+                           min_cov_score: int):
+        mm = self.map_manager
+        poses: Dict[int, int] = {}          # kfid -> order id
+        pose_vecs = []                      # order id -> theta (6,)
+        pose_const = []                     # order id -> bool
+        constant_poses = set()
+        map_points: Dict[int, int] = {}     # mpid -> order id
+        point_vecs = []
+        processed_keypoints_ids = set()
+        bad_keypoints = set()
+
+        obs_pose, obs_point, obs_px = [], [], []
+        obs_in_covmap, obs_kfid, obs_mpid = [], [], []
+        poses_remap, points_remap = [], []
+
+        for co_kfid, score in covisibility_map.items():
+            co_frame = mm.get_keyframe(co_kfid)
+            if co_frame is None:
+                frame.remove_covisible_kf(co_kfid)
+                continue
+            if (co_kfid > frame.kfid or co_frame.nb_3d_kpts == 0
+                    or score == 0):
+                continue
+            if co_kfid not in poses and co_kfid not in constant_poses:
+                is_constant = score < min_cov_score or co_kfid == 0
+                if is_constant:
+                    constant_poses.add(co_kfid)
+                    continue
+
+            for kpid in co_frame.get_3d_keypoints_ids():
+                if kpid in processed_keypoints_ids:
+                    continue
+                processed_keypoints_ids.add(kpid)
+                mp = mm.get_mappoint(kpid)
+                if mp is None:
+                    continue
+                if mp.is_bad():
+                    bad_keypoints.add(kpid)
+                    continue
+
+                mp_order_id = len(map_points)
+                map_points[kpid] = mp_order_id
+                point_vecs.append(mp.get_position())
+                points_remap.append(kpid)
+
+                for ob_kfid in mp.get_observers():
+                    if ob_kfid > frame.kfid:
+                        continue
+                    ob_frame = mm.get_keyframe(ob_kfid)
+                    if ob_frame is None:
+                        mm.remove_mappoint_obs(kpid, ob_kfid)
+                        continue
+                    ob_pixel = ob_frame.get_keypoint_unpx(kpid)
+                    if ob_pixel is None:
+                        mm.remove_mappoint_obs(kpid, ob_kfid)
+                        continue
+
+                    in_covmap = ob_kfid in covisibility_map
+                    is_constant = (
+                        ob_kfid == 0 or ob_kfid in constant_poses
+                        or not in_covmap
+                    )
+                    if not is_constant and in_covmap:
+                        is_constant = covisibility_map[ob_kfid] < min_cov_score
+
+                    if ob_kfid in poses:
+                        pose_order_id = poses[ob_kfid]
+                    else:
+                        pose_order_id = len(pose_vecs)
+                        poses[ob_kfid] = pose_order_id
+                        pose_vecs.append(ob_frame.get_cw_ba())
+                        pose_const.append(bool(is_constant))
+                        poses_remap.append(ob_kfid)
+                        if is_constant:
+                            constant_poses.add(ob_kfid)
+
+                    obs_pose.append(pose_order_id)
+                    obs_point.append(mp_order_id)
+                    obs_px.append(np.asarray(ob_pixel, np.float64))
+                    obs_in_covmap.append(in_covmap)
+                    obs_kfid.append(ob_kfid)
+                    obs_mpid.append(kpid)
+
+        return {
+            "pose_vecs": pose_vecs,
+            "pose_const": pose_const,
+            "point_vecs": point_vecs,
+            "obs_pose": obs_pose,
+            "obs_point": obs_point,
+            "obs_px": obs_px,
+            "obs_in_covmap": obs_in_covmap,
+            "obs_kfid": obs_kfid,
+            "obs_mpid": obs_mpid,
+            "poses_remap": poses_remap,
+            "points_remap": points_remap,
+            "bad_keypoints": bad_keypoints,
+        }
+
+    # -- BA driver (estimator.jl:317-350) -----------------------------------------
+
+    def local_bundle_adjustment(self, new_frame: Frame):
+        p = self.params
+        mm = self.map_manager
+        if new_frame.nb_3d_kpts < p.min_cov_score:
+            log.warning("[ES] Not enough 3D keypoints for BA: %d.",
+                        new_frame.nb_3d_kpts)
+            return
+
+        p.local_ba_on = True
+        try:
+            covisibility_map = new_frame.get_covisible_map()
+            covisibility_map[new_frame.kfid] = new_frame.nb_3d_kpts
+            # Up to 5 newest keyframes (estimator.jl:328-331).
+            co_kfids = sorted(covisibility_map.keys(), reverse=True)[:5]
+            covisibility_map = {k: covisibility_map[k] for k in co_kfids}
+
+            cache = self._get_ba_parameters(
+                new_frame, covisibility_map, p.min_cov_score
+            )
+            n_poses = len(cache["pose_vecs"])
+            n_points = len(cache["point_vecs"])
+            n_obs = len(cache["obs_pose"])
+            if n_poses == 0 or n_points == 0 or n_obs == 0:
+                return
+
+            P = next_bucket(n_poses, minimum=8, maximum=None)
+            X = next_bucket(n_points, minimum=256)
+            O = next_bucket(n_obs, minimum=1024)
+
+            poses0 = np.zeros((P, 6), np.float32)
+            poses0[:n_poses] = np.asarray(cache["pose_vecs"], np.float32)
+            pose_const = np.ones((P,), bool)  # padded slots constant
+            pose_const[:n_poses] = np.asarray(cache["pose_const"], bool)
+            points0 = np.zeros((X, 3), np.float32)
+            points0[:n_points] = np.asarray(cache["point_vecs"], np.float32)
+            obs_pose = np.zeros((O,), np.int32)
+            obs_pose[:n_obs] = cache["obs_pose"]
+            obs_point = np.zeros((O,), np.int32)
+            obs_point[:n_obs] = cache["obs_point"]
+            obs_px = np.zeros((O, 2), np.float32)
+            obs_px[:n_obs] = np.asarray(cache["obs_px"], np.float32)
+            obs_valid = np.zeros((O,), bool)
+            obs_valid[:n_obs] = True
+
+            res = local_bundle_adjustment(
+                jnp.asarray(poses0), jnp.asarray(pose_const),
+                jnp.asarray(points0), jnp.asarray(obs_pose),
+                jnp.asarray(obs_point), jnp.asarray(obs_px),
+                jnp.asarray(obs_valid),
+                jnp.asarray(new_frame.camera.intrinsics_array()),
+                iters1=p.ba_phase1_iterations,
+                iters2=p.ba_phase2_iterations,
+                repr_eps=5.0,
+            )
+            with mm.map_lock:
+                self._update_ba_parameters(cache, res, new_frame.kfid,
+                                           n_poses, n_points, n_obs)
+        finally:
+            p.local_ba_on = False
+
+    def _update_ba_parameters(self, cache, res, current_kfid, n_poses,
+                              n_points, n_obs):
+        """estimator.jl:268-306."""
+        mm = self.map_manager
+        new_poses = np.asarray(res["poses"], np.float64)
+        new_points = np.asarray(res["points"], np.float64)
+        outliers = np.asarray(res["outliers"])
+
+        for i, kfid in enumerate(cache["poses_remap"]):
+            if cache["pose_const"][i]:
+                continue
+            kf = mm.get_keyframe(kfid)
+            if kf is not None:
+                kf.set_cw_ba(new_poses[i], self.slam_io)
+
+        bad_keypoints = cache["bad_keypoints"]
+        for o in range(n_obs):
+            if not outliers[o]:
+                continue
+            mpid = cache["obs_mpid"][o]
+            kfid = cache["obs_kfid"][o]
+            if cache["obs_in_covmap"][o]:
+                mm.remove_mappoint_obs(mpid, kfid)
+            if kfid == current_kfid:
+                mm.remove_obs_from_current_frame(mpid)
+            bad_keypoints.add(mpid)
+
+        for i, mpid in enumerate(cache["points_remap"]):
+            mp = mm.get_mappoint(mpid)
+            if mp is None:
+                continue
+            if mp.is_bad():
+                mm.remove_mappoint(mpid)
+                bad_keypoints.discard(mpid)
+            else:
+                mp.set_position(new_points[i])
+
+        for bad_kpid in bad_keypoints:
+            mp = mm.get_mappoint(bad_kpid)
+            if mp is not None and mp.is_bad():
+                mm.remove_mappoint(bad_kpid)
+
+    # -- map filtering (estimator.jl:358-406) --------------------------------------
+
+    def map_filtering(self, new_keyframe: Frame):
+        p = self.params
+        mm = self.map_manager
+        if p.filtering_ratio >= 1 or new_keyframe.kfid < 20:
+            return
+
+        n_removed = 0
+        for kfid in list(new_keyframe.get_covisible_map().keys()):
+            if self.new_kf_available:
+                break
+            if kfid == 0:
+                break
+            if kfid >= new_keyframe.kfid:
+                continue
+            if not mm.has_keyframe(kfid):
+                new_keyframe.remove_covisible_kf(kfid)
+                continue
+            kf = mm.get_keyframe(kfid)
+            if kf.nb_3d_kpts < p.min_cov_score // 2:
+                with mm.map_lock:
+                    mm.remove_keyframe(kfid)
+                n_removed += 1
+                continue
+
+            n_good, n_total = 0, 0
+            for kp in kf.get_3d_keypoints():
+                if kp.id not in mm.map_points:
+                    mm.remove_mappoint_obs(kp.id, kfid)
+                    continue
+                mp = mm.get_mappoint(kp.id)
+                if mp is None:
+                    continue
+                if mp.get_observers_number() > 4:
+                    n_good += 1
+                n_total += 1
+                if self.new_kf_available:
+                    break
+            if n_total == 0:
+                continue
+            if n_good / n_total > p.filtering_ratio:
+                with mm.map_lock:
+                    mm.remove_keyframe(kfid)
+                n_removed += 1
+        if n_removed:
+            log.debug("[ES] Removed %d keyframes.", n_removed)
+
+    def reset(self):
+        self.new_kf_available = False
+        self.frame_queue.clear()

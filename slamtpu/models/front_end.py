@@ -1,0 +1,374 @@
+"""FrontEnd: per-frame tracking and pose estimation.
+
+Port of reference src/front_end.jl behavior: pyramid preprocess ->
+motion-model prediction -> KLT tracking -> (pre-init) parallax gate +
+essential-matrix init / (post-init) epipolar outlier filter -> PnP RANSAC +
+LM refinement -> motion-model update -> keyframe decision. All heavy math
+runs as batched device kernels (slamtpu.ops); this module owns ordering and
+thresholds.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import hostmath as hm
+from ..ops.image import build_lk_pyramid
+from ..ops.mvg import essential_ransac
+from ..ops.pnp import p3p_ransac, pnp_refine
+from ..params import Params
+from ..utils.padding import pad_rows, valid_mask
+from .frame import Frame
+from .map_manager import MapManager
+from .motion_model import MotionModel
+
+log = logging.getLogger("slamtpu.fe")
+
+
+class FrontEnd:
+    def __init__(self, params: Params, frame: Frame,
+                 map_manager: MapManager):
+        self.params = params
+        self.current_frame = frame
+        self.map_manager = map_manager
+        self.motion_model = MotionModel()
+        self.current_pyramid = None
+        self.previous_pyramid = None
+        self.current_image_dev = None
+        self._intrinsics = jnp.asarray(frame.camera.intrinsics_array())
+        self._pad = params.window_size + 2
+
+    # -- entry (front_end.jl:58-73) -----------------------------------------
+
+    def track(self, image_dev, time: float, slam_io=None) -> bool:
+        with self.map_manager.map_lock:
+            is_kf_required = self.track_mono(image_dev, time, slam_io)
+            if is_kf_required:
+                self.map_manager.create_keyframe(image_dev)
+        return is_kf_required
+
+    def track_mono(self, image_dev, time: float, slam_io=None) -> bool:
+        """front_end.jl:75-118."""
+        self.preprocess(image_dev)
+        if self.current_frame.id == 1:
+            return True
+
+        new_pose = self.motion_model.predict(self.current_frame.wc, time)
+        self.current_frame.set_wc(new_pose, slam_io)
+
+        self.klt_tracking()
+
+        if not self.params.vision_initialized:
+            if self.current_frame.nb_keypoints < 50:
+                log.warning("[FE] NB KP < 50. Reset required.")
+                self.params.reset_required = True
+                return False
+            if self.check_ready_for_init(slam_io):
+                log.debug("[FE] System ready for initialization.")
+                self.params.vision_initialized = True
+                return True
+            return False
+
+        # Epipolar filtering; fallback pose if P3P fails (front_end.jl:104-109).
+        pose_5pt = self.compute_pose_5pt(
+            min_parallax=5.0, use_motion_model=True
+        )
+        if self.map_manager.nb_keyframes > 2 and pose_5pt is not None:
+            self.current_frame.set_cw(pose_5pt, slam_io)
+
+        self.compute_pose(slam_io)
+
+        self.motion_model.update(self.current_frame.wc, time)
+        return self.check_new_kf_required()
+
+    # -- P3P + refinement (front_end.jl:132-219) ----------------------------
+
+    def compute_pose(self, slam_io=None) -> bool:
+        frame = self.current_frame
+        if frame.nb_3d_kpts < 5:
+            log.warning(
+                "[FE] Not enough 3D keypoints to compute P3P %d.",
+                frame.nb_3d_kpts,
+            )
+            return False
+
+        ids, pts3d, px_xy, bearings = [], [], [], []
+        for kp in frame.keypoints.values():
+            if not kp.is_3d:
+                continue
+            mp = self.map_manager.map_points.get(kp.id)
+            if mp is None:
+                continue
+            ids.append(kp.id)
+            pts3d.append(mp.get_position())
+            px_xy.append(kp.undistorted_pixel[::-1])
+            pos = kp.position
+            bearings.append(pos / np.linalg.norm(pos))
+        n = len(ids)
+        if n < 5:
+            return False
+
+        cap = self.params.keypoint_capacity
+        res = p3p_ransac(
+            jnp.asarray(pad_rows(pts3d, cap, np.float32)),
+            jnp.asarray(pad_rows(px_xy, cap, np.float32)),
+            jnp.asarray(pad_rows(bearings, cap, np.float32)),
+            jnp.asarray(valid_mask(n, cap)),
+            jnp.int32(n),
+            self._intrinsics,
+            self._ransac_key(1),
+            hypotheses=self.params.ransac_pnp_hypotheses,
+            threshold=self.params.max_reprojection_error,
+        )
+        n_inliers = int(res["n_inliers"])
+        if n_inliers < 5:
+            log.warning("[FE] P3P too few inliers - resetting!")
+            self.reset_frame()
+            return False
+
+        inliers = np.asarray(res["inliers"])[:n]
+        frame.set_cw(np.asarray(res["cw"], np.float64), slam_io)
+        for kpid, inl in zip(ids, inliers):
+            if not inl:
+                self.map_manager.remove_obs_from_current_frame(kpid)
+
+        # LM refinement on the inlier set (front_end.jl:202-206).
+        in_ids = [ids[i] for i in range(n) if inliers[i]]
+        in_pts = [pts3d[i] for i in range(n) if inliers[i]]
+        in_px_yx = [px_xy[i][::-1] for i in range(n) if inliers[i]]
+        m = len(in_ids)
+        theta0 = frame.get_cw_ba()
+        ref = pnp_refine(
+            jnp.asarray(theta0, jnp.float32),
+            jnp.asarray(pad_rows(in_pts, cap, np.float32)),
+            jnp.asarray(pad_rows(in_px_yx, cap, np.float32)),
+            jnp.asarray(valid_mask(m, cap)),
+            self._intrinsics,
+            iters1=5, iters2=10,
+            repr_eps=self.params.max_reprojection_error,
+        )
+        outliers = np.asarray(ref["outliers"])[:m]
+        n_outliers = int(ref["n_outliers"])
+        if m - n_outliers < 5 or float(ref["final_error"]) > float(
+            ref["initial_error"]
+        ):
+            log.warning("[FE] P3P BA too few inliers - resetting!")
+            self.reset_frame()
+            return False
+
+        for kpid, out in zip(in_ids, outliers):
+            if out:
+                self.map_manager.remove_obs_from_current_frame(kpid)
+
+        frame.set_cw(
+            hm.theta_to_pose(np.asarray(ref["theta"], np.float64)), slam_io
+        )
+        return True
+
+    # -- essential matrix (front_end.jl:243-332) -----------------------------
+
+    def compute_pose_5pt(self, min_parallax: float,
+                         use_motion_model: bool) -> Optional[np.ndarray]:
+        frame = self.current_frame
+        if frame.nb_keypoints < 8:
+            log.debug("[FE] Not enough keypoints for 5pt: %d",
+                      frame.nb_keypoints)
+            return None
+        prev_kf = self.map_manager.frames_map.get(frame.kfid)
+        if prev_kf is None:
+            return None
+
+        R_comp = prev_kf.get_Rcw() @ frame.get_Rwc()
+
+        ids, prev_px, cur_px, prev_pd, cur_pd = [], [], [], [], []
+        n_parallax = 0
+        avg_parallax = 0.0
+        for kp in frame.keypoints.values():
+            pkf_kp = prev_kf.keypoints.get(kp.id)
+            if pkf_kp is None:
+                continue
+            prev_px.append(pkf_kp.undistorted_pixel[::-1])
+            cur_px.append(kp.undistorted_pixel[::-1])
+            prev_pd.append(pkf_kp.position[:2])
+            cur_pd.append(kp.position[:2])
+            ids.append(kp.id)
+            # Rotation-compensated parallax (front_end.jl:278-282).
+            rot_px = frame.camera.project(R_comp @ kp.position)
+            avg_parallax += float(
+                np.linalg.norm(rot_px - pkf_kp.undistorted_pixel)
+            )
+            n_parallax += 1
+
+        if n_parallax < 8:
+            log.warning("[FE] Not enough keypoints in previous KF for 5pt.")
+            return None
+        avg_parallax /= n_parallax
+        if avg_parallax < min_parallax:
+            log.warning("[FE] Not enough parallax (%.2f) for 5pt.",
+                        avg_parallax)
+            return None
+
+        n = len(ids)
+        cap = self.params.keypoint_capacity
+        res = essential_ransac(
+            jnp.asarray(pad_rows(prev_pd, cap, np.float32)),
+            jnp.asarray(pad_rows(cur_pd, cap, np.float32)),
+            jnp.asarray(pad_rows(prev_px, cap, np.float32)),
+            jnp.asarray(pad_rows(cur_px, cap, np.float32)),
+            jnp.asarray(valid_mask(n, cap)),
+            jnp.int32(n),
+            self._intrinsics,
+            self._ransac_key(0),
+            hypotheses=self.params.ransac_essential_hypotheses,
+            threshold=self.params.max_reprojection_error,
+        )
+        n_inliers = int(res["n_inliers"])
+        if n_inliers < 5:
+            log.warning("[FE] Not enough inliers (%d) for 5pt.", n_inliers)
+            return None
+
+        if n_inliers != n:
+            inliers = np.asarray(res["inliers"])[:n]
+            for i, inl in enumerate(inliers):
+                if not inl:
+                    self.map_manager.remove_obs_from_current_frame(ids[i])
+
+        P = np.asarray(res["pose"], np.float64)
+        if use_motion_model:
+            # Scale recovery from the motion model (front_end.jl:321-330).
+            prev_cw = prev_kf.cw
+            current = prev_cw @ frame.wc
+            scale = float(np.linalg.norm(current[:3, 3]))
+            R, t = P[:3, :3], P[:3, 3]
+            norm_t = np.linalg.norm(t)
+            if norm_t > 1e-12:
+                t = scale * t / norm_t
+            return hm.rt_to_4x4(R, t) @ prev_cw
+        return P  # cw pose
+
+    # -- initialization (front_end.jl:343-354) -------------------------------
+
+    def check_ready_for_init(self, slam_io=None) -> bool:
+        avg_parallax = self.compute_parallax(
+            self.current_frame.kfid,
+            compensate_rotation=False, median_parallax=False,
+        )
+        log.debug("[FE] Initial parallax %.2f vs %.2f.", avg_parallax,
+                  self.params.initial_parallax)
+        if avg_parallax <= self.params.initial_parallax:
+            return False
+        pose = self.compute_pose_5pt(
+            min_parallax=self.params.initial_parallax,
+            use_motion_model=False,
+        )
+        if pose is None:
+            return False
+        self.current_frame.set_cw(pose, slam_io)
+        return True
+
+    # -- keyframe decision (front_end.jl:361-393) ----------------------------
+
+    def check_new_kf_required(self) -> bool:
+        frame = self.current_frame
+        p = self.params
+        prev_kf = self.map_manager.frames_map.get(frame.kfid)
+        if prev_kf is None:
+            return False
+
+        frames_delta = frame.id - prev_kf.id
+        if (frame.nb_occupied_cells < 0.33 * p.max_nb_keypoints
+                and frames_delta >= 5 and not p.local_ba_on):
+            return True
+        if frame.nb_3d_kpts < 20 and frames_delta >= 2:
+            return True
+        if (frame.nb_3d_kpts > 0.5 * p.max_nb_keypoints
+                and (p.local_ba_on or frames_delta < 2)):
+            return False
+
+        median_parallax = self.compute_parallax(
+            prev_kf.kfid, compensate_rotation=True, only_2d=False,
+        )
+        cx = median_parallax >= p.initial_parallax / 2.0
+        c0 = median_parallax >= p.initial_parallax
+        c1 = frame.nb_3d_kpts < 0.75 * prev_kf.nb_3d_kpts
+        c2 = (frame.nb_occupied_cells < 0.5 * p.max_nb_keypoints
+              and frame.nb_3d_kpts < 0.85 * prev_kf.nb_3d_kpts
+              and not p.local_ba_on)
+        return cx and (c0 or c1 or c2)
+
+    # -- parallax (front_end.jl:412-452) -------------------------------------
+
+    def compute_parallax(self, frame_id, compensate_rotation=True,
+                         only_2d=True, median_parallax=True) -> float:
+        frame = self.current_frame
+        other = self.map_manager.frames_map.get(frame_id)
+        if other is None:
+            log.warning("[FE] compute_parallax: keyframe %s missing.",
+                        frame_id)
+            return 0.0
+        R = (
+            other.get_Rcw() @ frame.get_Rwc()
+            if compensate_rotation else np.eye(3)
+        )
+        values = []
+        for kp in frame.keypoints.values():
+            if only_2d and kp.is_3d:
+                continue
+            upx_other = other.get_keypoint_unpx(kp.id)
+            if upx_other is None:
+                continue
+            if compensate_rotation:
+                upx = other.camera.project(R @ kp.position)
+            else:
+                upx = kp.undistorted_pixel
+            values.append(float(np.linalg.norm(upx - upx_other)))
+        if not values:
+            return 0.0
+        if median_parallax:
+            return float(np.median(values))
+        return float(np.mean(values))
+
+    # -- preprocessing (front_end.jl:454-481) --------------------------------
+
+    def preprocess(self, image_dev):
+        self.previous_pyramid = self.current_pyramid
+        self.current_image_dev = image_dev
+        self.current_pyramid = build_lk_pyramid(
+            image_dev,
+            levels=self.params.pyramid_levels,
+            sigma=self.params.pyramid_sigma,
+            pad=self._pad,
+        )
+
+    def klt_tracking(self):
+        self.map_manager.optical_flow_matching(
+            self.current_frame, self.previous_pyramid, self.current_pyramid,
+            stereo=False,
+        )
+
+    # -- reset (front_end.jl:488-512) ----------------------------------------
+
+    def reset_frame(self):
+        for kpid in list(self.current_frame.keypoints.keys()):
+            self.map_manager.remove_obs_from_current_frame(kpid)
+        self.current_frame.keypoints.clear()
+        self.current_frame.keypoints_grid.clear()
+        self.current_frame.nb_2d_kpts = 0
+        self.current_frame.nb_3d_kpts = 0
+        self.current_frame.nb_stereo_kpts = 0
+        self.current_frame.nb_keypoints = 0
+        self.current_frame.nb_occupied_cells = 0
+
+    def reset(self):
+        self.previous_pyramid = None
+        self.current_pyramid = None
+        self.motion_model.reset()
+
+    def _ransac_key(self, salt: int):
+        return jax.random.PRNGKey(
+            (self.params.seed * 1000003 + self.current_frame.id) * 7 + salt
+        )

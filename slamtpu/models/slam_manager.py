@@ -1,0 +1,191 @@
+"""SlamManager: top-level orchestration (reference src/SLAM.jl:89-323).
+
+Two execution modes:
+  - sequential (default): each frame runs front-end -> mapper -> estimator
+    inline. The reference's KITTI example drains every queue before feeding
+    the next frame (example/kitty/main.jl:46-54), so lock-step is the honest
+    equivalent of its steady state.
+  - threaded: mapper + estimator worker threads consuming queues, mirroring
+    the reference's 3-stage pipeline (SLAM.jl:166, mapper.jl:26).
+
+Images enter as numpy float arrays in [0, 1] (grayscale); they are pushed to
+the device once and every kernel reuses the device-resident copy.
+"""
+from __future__ import annotations
+
+import logging
+import threading
+import time as _time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..params import Params
+from .extractor import Extractor
+from .frame import Frame
+from .front_end import FrontEnd
+from .map_manager import MapManager
+from .mapper import KeyFrame, Mapper
+
+log = logging.getLogger("slamtpu.sm")
+
+
+class SlamManager:
+    def __init__(self, params: Params, camera: Camera,
+                 right_camera: Optional[Camera] = None, slam_io=None):
+        if params.stereo and right_camera is None:
+            raise ValueError("[SM] Provide right_camera in stereo mode.")
+        self.params = params
+        self.camera = camera
+        self.right_camera = right_camera
+        self.slam_io = slam_io
+
+        avoidance_radius = max(5, params.max_distance // 2)
+        grid_resolution = (
+            -(-camera.height // params.max_distance),
+            -(-camera.width // params.max_distance),
+        )
+
+        self.current_frame = Frame(
+            camera, right_camera, cell_size=params.max_distance
+        )
+        self.extractor = Extractor(
+            params.max_nb_keypoints, avoidance_radius, grid_resolution,
+            params.max_distance, capacity=params.keypoint_capacity,
+        )
+        self.map_manager = MapManager(
+            params, self.current_frame, self.extractor
+        )
+        self.front_end = FrontEnd(params, self.current_frame,
+                                  self.map_manager)
+        self.mapper = Mapper(params, self.map_manager, self.current_frame,
+                             slam_io)
+
+        self.frame_id = 0
+        self.exit_required = False
+        self._image_queue = []
+        self._queue_lock = threading.Lock()
+        self._threads = []
+        if not params.sequential:
+            self._start_workers()
+
+    # -- feeding (SLAM.jl:237-257) --------------------------------------------
+
+    def add_image(self, image: np.ndarray, time: float):
+        if self.params.sequential:
+            self._process_frame(image, None, time)
+        else:
+            with self._queue_lock:
+                self._image_queue.append((image, None, time))
+
+    def add_stereo_image(self, image: np.ndarray, right_image: np.ndarray,
+                         time: float):
+        if self.params.sequential:
+            self._process_frame(image, right_image, time)
+        else:
+            with self._queue_lock:
+                self._image_queue.append((image, right_image, time))
+
+    def get_queue_size(self) -> int:
+        with self._queue_lock:
+            return len(self._image_queue)
+
+    # -- per-frame pipeline (SLAM.jl:187-230) -----------------------------------
+
+    def _process_frame(self, image, right_image, time: float):
+        image_dev = jnp.asarray(np.asarray(image, np.float32))
+        right_dev = (
+            jnp.asarray(np.asarray(right_image, np.float32))
+            if right_image is not None else None
+        )
+
+        self.frame_id += 1
+        self.current_frame.id = self.frame_id
+        self.current_frame.time = time
+        log.debug("[SM] Frame %d @ %s", self.frame_id, time)
+
+        is_kf_required = self.front_end.track(image_dev, time, self.slam_io)
+        if self.params.reset_required:
+            self.reset()
+            return
+
+        if not is_kf_required:
+            return
+
+        kf = KeyFrame(
+            self.current_frame.kfid,
+            self.front_end.current_pyramid if self.params.stereo else None,
+            right_dev if self.params.stereo else None,
+        )
+        if self.params.sequential:
+            ok = self.mapper.process(kf)
+            if self.params.reset_required:
+                self.reset()
+                return
+            if ok:
+                new_kf = self.mapper.estimator.get_new_kf()
+                if new_kf is not None:
+                    self.mapper.estimator.process(new_kf)
+        else:
+            self.mapper.add_new_kf(kf)
+
+    # -- threaded mode ----------------------------------------------------------
+
+    def _start_workers(self):
+        def run_manager():
+            while not self.exit_required:
+                with self._queue_lock:
+                    item = (
+                        self._image_queue.pop(0) if self._image_queue else None
+                    )
+                if item is None:
+                    _time.sleep(1e-2)
+                    continue
+                self._process_frame(*item)
+
+        def run_mapper():
+            while not self.exit_required:
+                kf = self.mapper.get_new_kf()
+                if kf is None:
+                    _time.sleep(1e-2)
+                    continue
+                self.mapper.process(kf)
+
+        def run_estimator():
+            est = self.mapper.estimator
+            while not self.exit_required:
+                new_kf = est.get_new_kf()
+                if new_kf is None:
+                    _time.sleep(1e-2)
+                    continue
+                est.process(new_kf)
+
+        for fn in (run_manager, run_mapper, run_estimator):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def wait(self):
+        """Drain queues and stop worker threads (threaded mode)."""
+        if self.params.sequential:
+            return
+        while (self.get_queue_size() > 0 or self.mapper.keyframe_queue
+               or self.mapper.estimator.frame_queue):
+            _time.sleep(1e-2)
+        self.exit_required = True
+        for t in self._threads:
+            t.join(timeout=5.0)
+
+    # -- reset (SLAM.jl:316-323) -------------------------------------------------
+
+    def reset(self):
+        log.warning("[SM] Reset required. Applying.")
+        self.params.reset()
+        self.current_frame.reset()
+        self.front_end.reset()
+        self.map_manager.reset()
+        self.mapper.reset()
+        self.mapper.estimator.reset()

@@ -1,0 +1,233 @@
+"""Batched pyramidal Lucas-Kanade optical flow.
+
+TPU-native replacement for reference src/optical_flow/lucas_kanade.jl and
+src/tracker.jl. The reference iterates per point inside a Threads.@threads
+loop (lucas_kanade.jl:33); here ALL keypoints advance together as one padded
+(N, ...) batch per pyramid level inside a single jitted program:
+
+  - per level: gather each point's (2w+1)x(2w+1) window of the first image,
+    its Scharr gradients, and the sigma=4-smoothed gradient products once;
+  - run a masked `lax.while_loop` over solver iterations (early exit when
+    every active point converged — mirrors the reference's per-point epsilon
+    termination, lucas_kanade.jl:81-82);
+  - the structure tensor G is a masked window sum (exactly the reference's
+    integral-image boxdiff, lucas_kanade.jl:140-157) inverted by the
+    closed-form 2x2 SVD pseudo-inverse (optical_flow/utils.jl:5-45);
+  - the second image is sampled bilinearly at the moving correspondence
+    (the only per-iteration gather).
+
+Semantics preserved from the reference:
+  - integer level coordinates: floor(point / 2^level) (lucas_kanade.jl:197);
+  - window clamping to level bounds from BOTH endpoints (get_offsets,
+    lucas_kanade.jl:199-208) via validity masks;
+  - min-eigenvalue rejection normalized by window pixel count (:154);
+  - displacement priors enter in coarsest-level units and double per level
+    (:94-95); epsilon termination does NOT apply the final step (:81-84);
+  - a point that fails at any level stays failed (:34).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .image import pyramid_level_shape
+
+
+def svd2x2_sym_eig(a, b, c):
+    """Eigenvalues (descending) of the symmetric 2x2 [[a, b], [b, c]]."""
+    half_tr = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.square(0.5 * (a - c)) + jnp.square(b))
+    return half_tr + disc, half_tr - disc
+
+
+def pinv2x2_sym(a, b, c, tol_scale: float = 1e-6):
+    """Moore-Penrose pseudo-inverse of symmetric 2x2, closed form.
+
+    Mirrors reference svd2x2 + pinv2x2 (optical_flow/utils.jl): singular
+    values below tol = tol_scale * s_max are zeroed instead of inverted.
+    """
+    s1, s2 = svd2x2_sym_eig(a, b, c)
+    # Eigenvector for s1: rotate by phi where tan(2 phi) = 2b / (a - c).
+    theta = 0.5 * jnp.arctan2(2.0 * b, a - c)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    tol = tol_scale * jnp.maximum(jnp.abs(s1), jnp.abs(s2))
+    inv1 = jnp.where(jnp.abs(s1) > tol, 1.0 / s1, 0.0)
+    inv2 = jnp.where(jnp.abs(s2) > tol, 1.0 / s2, 0.0)
+    # G_inv = V diag(inv) V^T with V = [[ct, -st], [st, ct]].
+    ia = inv1 * ct * ct + inv2 * st * st
+    ib = (inv1 - inv2) * ct * st
+    ic = inv1 * st * st + inv2 * ct * ct
+    return ia, ib, ic, s1, s2
+
+
+def _gather_window(img, start_yx, size):
+    """vmapped dynamic-slice gather: (H, W), (N, 2) -> (N, size, size)."""
+    def one(s):
+        return jax.lax.dynamic_slice(img, (s[0], s[1]), (size, size))
+    return jax.vmap(one)(start_yx)
+
+
+def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
+              eig_thresh, pad):
+    """One pyramid level for all N points.
+
+    p_lvl: (N, 2) int32 integer level coordinates (y, x).
+    flow:  (N, 2) f32 displacement at this level's scale.
+    ok:    (N,) bool — points still alive.
+    """
+    H, W = hw
+    w = window
+    T = 2 * w + 1
+    n = p_lvl.shape[0]
+
+    oy = jnp.arange(-w, w + 1, dtype=jnp.float32)[:, None]
+    ox = jnp.arange(-w, w + 1, dtype=jnp.float32)[None, :]
+
+    start = p_lvl - w + pad
+    img1_w = _gather_window(d1["img"], start, T)
+    iy_w = _gather_window(d1["Iy"], start, T)
+    ix_w = _gather_window(d1["Ix"], start, T)
+    gyy_w = _gather_window(d1["Gyy"], start, T)
+    gxx_w = _gather_window(d1["Gxx"], start, T)
+    gyx_w = _gather_window(d1["Gyx"], start, T)
+
+    p_f = p_lvl.astype(jnp.float32)
+    hw_max = jnp.array([H - 1, W - 1], dtype=jnp.float32)
+
+    def window_mask(q):
+        """Clamped-window validity mask (N, T, T); reference get_offsets."""
+        up = jnp.floor(jnp.minimum(float(w), jnp.minimum(p_f[:, 0], q[:, 0])))
+        down = jnp.floor(
+            jnp.minimum(float(w), hw_max[0] - jnp.maximum(p_f[:, 0], q[:, 0]))
+        )
+        left = jnp.floor(jnp.minimum(float(w), jnp.minimum(p_f[:, 1], q[:, 1])))
+        right = jnp.floor(
+            jnp.minimum(float(w), hw_max[1] - jnp.maximum(p_f[:, 1], q[:, 1]))
+        )
+        my = (oy[None] >= -up[:, None, None]) & (oy[None] <= down[:, None, None])
+        mx = (ox[None] >= -left[:, None, None]) & (ox[None] <= right[:, None, None])
+        return (my & mx).astype(jnp.float32)
+
+    def structure_tensor(mask):
+        syy = jnp.sum(gyy_w * mask, axis=(1, 2))
+        sxx = jnp.sum(gxx_w * mask, axis=(1, 2))
+        syx = jnp.sum(gyx_w * mask, axis=(1, 2))
+        ia, ib, ic, _, s2 = pinv2x2_sym(syy, syx, sxx)
+        count = jnp.sum(mask, axis=(1, 2))
+        min_eig = s2 / jnp.maximum(count, 1.0)
+        return ia, ib, ic, min_eig
+
+    def in_bounds(q):
+        return (
+            (q[:, 0] >= 0.0)
+            & (q[:, 0] <= hw_max[0])
+            & (q[:, 1] >= 0.0)
+            & (q[:, 1] <= hw_max[1])
+        )
+
+    def body(carry):
+        it, flow, running, ok = carry
+        q = p_f + flow
+        inb = in_bounds(q)
+        fail = running & ~inb
+
+        mask = window_mask(jnp.where(inb[:, None], q, p_f))
+        ia, ib, ic, min_eig = structure_tensor(mask)
+        fail = fail | (running & (min_eig < eig_thresh))
+
+        # Bilinear sample of the second image around q.
+        q_floor = jnp.floor(q)
+        frac = q - q_floor
+        base = q_floor.astype(jnp.int32) - w + pad
+        big = _gather_window(d2["img"], base, T + 1)  # (N, T+1, T+1)
+        fy = frac[:, 0][:, None, None]
+        fx = frac[:, 1][:, None, None]
+        img2_s = (
+            (1.0 - fy) * (1.0 - fx) * big[:, :T, :T]
+            + (1.0 - fy) * fx * big[:, :T, 1:]
+            + fy * (1.0 - fx) * big[:, 1:, :T]
+            + fy * fx * big[:, 1:, 1:]
+        )
+
+        diff = (img1_w - img2_s) * mask
+        by = jnp.sum(diff * iy_w, axis=(1, 2))
+        bx = jnp.sum(diff * ix_w, axis=(1, 2))
+        step_y = ia * by + ib * bx
+        step_x = ib * by + ic * bx
+
+        converged = (jnp.abs(step_y) < eps) & (jnp.abs(step_x) < eps)
+        new_flow = flow + jnp.stack([step_y, step_x], axis=-1)
+        fail = fail | (running & ~converged & ~in_bounds(p_f + new_flow))
+
+        advance = running & ~fail & ~converged
+        flow = jnp.where(advance[:, None], new_flow, flow)
+        ok = ok & ~fail
+        running = running & ok & ~converged
+        return it + 1, flow, running, ok
+
+    def cond(carry):
+        it, _, running, _ = carry
+        return (it < iters) & jnp.any(running)
+
+    _, flow, _, ok = jax.lax.while_loop(cond, body, (0, flow, ok, ok))
+    return flow, ok
+
+
+def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
+            iters, eps, eig_thresh, pad):
+    """Pyramidal LK for N points (reference optflow!, lucas_kanade.jl:9-100).
+
+    points: (N, 2) f32 full-resolution (y, x).
+    displacement: (N, 2) f32 prior in COARSEST-level units.
+    Returns (flow_full_res, status): flow at level 0 scale.
+    """
+    flow = displacement.astype(jnp.float32)
+    ok = valid
+    for level in range(levels, -1, -1):
+        d1, d2 = pyr1[level], pyr2[level]
+        hw = pyramid_level_shape(d1, pad)
+        p_lvl = jnp.floor(points / (2.0 ** level)).astype(jnp.int32)
+        flow, ok = _lk_level(
+            d1, d2, p_lvl, flow, ok,
+            hw=hw, window=window, iters=iters, eps=eps,
+            eig_thresh=eig_thresh, pad=pad,
+        )
+        if level > 0:
+            flow = flow * 2.0
+    return flow, ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "window", "iters", "eps", "eig_thresh", "pad", "max_distance"
+    ),
+)
+def fb_track(pyr_prev, pyr_cur, points, displacement, valid, *, levels,
+             window, iters=30, eps=1e-2, eig_thresh=1e-4, pad=11,
+             max_distance=1.0):
+    """Forward-backward KLT (reference src/tracker.jl:17-68).
+
+    Forward over `levels` pyramid levels with the displacement prior, then
+    backward at level 0 only (tracker.jl:34), keeping points whose round trip
+    lands within `max_distance` of the original.
+
+    Returns (new_points (N, 2), status (N,)).
+    """
+    flow_f, status = lk_flow(
+        pyr_prev, pyr_cur, points, displacement, valid,
+        levels=levels, window=window, iters=iters, eps=eps,
+        eig_thresh=eig_thresh, pad=pad,
+    )
+    new_points = points + flow_f
+    flow_b, bstatus = lk_flow(
+        pyr_cur, pyr_prev, new_points, -flow_f, status,
+        levels=0, window=window, iters=iters, eps=eps,
+        eig_thresh=eig_thresh, pad=pad,
+    )
+    round_trip = new_points + flow_b
+    dist = jnp.linalg.norm(points - round_trip, axis=-1)
+    ok = status & bstatus & (dist < max_distance)
+    return new_points, ok

@@ -1,0 +1,63 @@
+"""System configuration + mutable runtime state.
+
+Mirrors reference src/params.jl:58-94 — the same knobs with the same defaults,
+plus TPU-specific capacity knobs (static padded shapes for jit stability).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class Params:
+    # -- reference knobs (src/params.jl:58-77) -----------------------------
+    stereo: bool = False
+    max_nb_keypoints: int = 1000
+    max_distance: int = 35            # grid cell size in pixels
+    max_ktl_distance: float = 1.0     # forward-backward max distance
+    pyramid_levels: int = 3           # + 1 base level
+    pyramid_sigma: float = 1.0
+    window_size: int = 9              # LK half-window
+    initial_parallax: float = 20.0
+    max_reprojection_error: float = 3.0
+    min_cov_score: int = 25
+    do_local_matching: bool = False
+
+    filtering_ratio: float = 0.9
+    map_filtering: bool = False
+
+    do_local_bundle_adjustment: bool = True
+    max_projection_distance: float = 2.0
+    max_descriptor_distance: float = 0.35
+
+    # -- TPU-native knobs ---------------------------------------------------
+    # Static keypoint capacity per device batch (padded; jit-stable shapes).
+    keypoint_capacity: int = 1024
+    # LK solver iterations / thresholds (reference lucas_kanade.jl:1-7).
+    lk_iterations: int = 30
+    lk_eigenvalue_threshold: float = 1e-4
+    lk_epsilon: float = 1e-2
+    # RANSAC hypothesis counts (hypothesis-parallel; reference RecoverPose
+    # uses sequential sampling — accuracy parity, not bitwise).
+    ransac_essential_hypotheses: int = 256
+    ransac_pnp_hypotheses: int = 256
+    # Bundle-adjustment iteration budget (reference bundle_adjustment.jl:39-54:
+    # 5 LM iterations, outlier detection, then 10 more).
+    ba_phase1_iterations: int = 5
+    ba_phase2_iterations: int = 10
+    # Deterministic seed for RANSAC sampling.
+    seed: int = 0
+    # Run mapper/estimator inline (lock-step) instead of worker threads.
+    # The reference example drains all queues per frame anyway
+    # (example/kitty/main.jl:46-54), so lock-step is the honest default.
+    sequential: bool = True
+
+    # -- runtime state (src/params.jl:79-81) --------------------------------
+    vision_initialized: bool = False
+    reset_required: bool = False
+    local_ba_on: bool = False
+
+    def reset(self) -> None:
+        """Reference params.jl:91-94."""
+        self.vision_initialized = False
+        self.reset_required = False

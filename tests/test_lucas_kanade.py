@@ -1,0 +1,145 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from slamtpu.ops.image import build_lk_pyramid, pyramid_shapes
+from slamtpu.ops.lucas_kanade import fb_track, lk_flow, pinv2x2_sym
+
+PAD = 11
+
+
+def make_texture(h, w, seed=0, n_blobs=300, rng_shift=(0.0, 0.0)):
+    """Random Gaussian-blob texture with an optional global sub-pixel shift."""
+    rng = np.random.default_rng(seed)
+    ys = rng.uniform(5, h - 5, n_blobs)
+    xs = rng.uniform(5, w - 5, n_blobs)
+    amp = rng.uniform(0.3, 1.0, n_blobs)
+    sig = rng.uniform(1.0, 2.5, n_blobs)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w))
+    for y, x, a, s in zip(ys, xs, amp, sig):
+        img += a * np.exp(
+            -(((yy - y - rng_shift[0]) ** 2) + (xx - x - rng_shift[1]) ** 2)
+            / (2 * s * s)
+        )
+    img /= img.max()
+    return img.astype(np.float32)
+
+
+def test_pyramid_shapes():
+    shapes = pyramid_shapes(376, 1241, 3)
+    assert shapes == [(376, 1241), (188, 621), (94, 311), (47, 156)]
+
+
+def test_pinv2x2():
+    a, b, c = 4.0, 1.0, 3.0
+    ia, ib, ic, s1, s2 = [
+        float(v)
+        for v in pinv2x2_sym(jnp.float32(a), jnp.float32(b), jnp.float32(c))
+    ]
+    G = np.array([[a, b], [b, c]])
+    Ginv = np.array([[ia, ib], [ib, ic]])
+    assert np.allclose(Ginv, np.linalg.inv(G), atol=1e-5)
+    evals = np.linalg.eigvalsh(G)
+    assert np.isclose(s2, evals[0], atol=1e-5)
+    assert np.isclose(s1, evals[1], atol=1e-5)
+
+
+@pytest.mark.parametrize("shift", [(1.3, -2.2), (4.7, 3.1)])
+def test_lk_recovers_global_shift(shift):
+    h, w = 120, 160
+    img1 = make_texture(h, w, seed=3)
+    img2 = make_texture(h, w, seed=3, rng_shift=shift)
+
+    levels = 3
+    pyr1 = build_lk_pyramid(jnp.asarray(img1), levels=levels, pad=PAD)
+    pyr2 = build_lk_pyramid(jnp.asarray(img2), levels=levels, pad=PAD)
+
+    rng = np.random.default_rng(0)
+    n = 64
+    pts = np.stack(
+        [rng.uniform(25, h - 25, n), rng.uniform(25, w - 25, n)], axis=-1
+    ).astype(np.float32)
+    disp = jnp.zeros((n, 2), dtype=jnp.float32)
+    valid = jnp.ones((n,), dtype=bool)
+
+    flow, ok = lk_flow(
+        pyr1, pyr2, jnp.asarray(pts), disp, valid,
+        levels=levels, window=9, iters=30, eps=1e-2, eig_thresh=1e-4, pad=PAD,
+    )
+    flow = np.asarray(flow)
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.7
+    err = np.linalg.norm(flow[ok] - np.array(shift), axis=-1)
+    assert np.median(err) < 0.25
+
+
+def test_fb_track_rejects_occluded():
+    h, w = 120, 160
+    shift = (2.0, 1.0)
+    img1 = make_texture(h, w, seed=5)
+    img2 = make_texture(h, w, seed=5, rng_shift=shift)
+    # Occlude a region in the second image: points there should fail FB check.
+    img2[40:80, 40:80] = 0.0
+
+    levels = 3
+    pyr1 = build_lk_pyramid(jnp.asarray(img1), levels=levels, pad=PAD)
+    pyr2 = build_lk_pyramid(jnp.asarray(img2), levels=levels, pad=PAD)
+
+    pts_good = np.array([[20.0, 120.0], [100.0, 30.0], [25.0, 30.0]])
+    pts_bad = np.array([[60.0, 60.0], [55.0, 65.0]])
+    pts = np.concatenate([pts_good, pts_bad]).astype(np.float32)
+    n = len(pts)
+
+    new_pts, ok = fb_track(
+        pyr1, pyr2, jnp.asarray(pts),
+        jnp.zeros((n, 2), jnp.float32), jnp.ones((n,), bool),
+        levels=levels, window=9, max_distance=1.0,
+    )
+    new_pts, ok = np.asarray(new_pts), np.asarray(ok)
+    assert ok[: len(pts_good)].all()
+    moved = new_pts[: len(pts_good)] - pts[: len(pts_good)]
+    assert np.allclose(moved, shift, atol=0.5)
+
+
+def test_lk_respects_validity_mask():
+    h, w = 64, 64
+    img = make_texture(h, w, seed=7)
+    pyr = build_lk_pyramid(jnp.asarray(img), levels=1, pad=PAD)
+    pts = np.array([[32.0, 32.0], [10.0, 10.0]], dtype=np.float32)
+    valid = jnp.asarray([True, False])
+    _, ok = fb_track(
+        pyr, pyr, jnp.asarray(pts), jnp.zeros((2, 2), jnp.float32), valid,
+        levels=1, window=9, max_distance=1.0,
+    )
+    ok = np.asarray(ok)
+    assert not ok[1]
+
+
+def test_lk_displacement_prior():
+    # Big shift that plain LK at 1 level cannot find, but the prior solves.
+    h, w = 120, 160
+    shift = (0.0, 12.0)
+    img1 = make_texture(h, w, seed=11)
+    img2 = make_texture(h, w, seed=11, rng_shift=shift)
+    pyr1 = build_lk_pyramid(jnp.asarray(img1), levels=1, pad=PAD)
+    pyr2 = build_lk_pyramid(jnp.asarray(img2), levels=1, pad=PAD)
+
+    rng = np.random.default_rng(2)
+    n = 32
+    pts = np.stack(
+        [rng.uniform(25, h - 25, n), rng.uniform(30, w - 30, n)], axis=-1
+    ).astype(np.float32)
+    # Prior in coarsest-level (level 1) units: shift / 2.
+    prior = jnp.tile(jnp.asarray([[0.0, 6.0]], jnp.float32), (n, 1))
+    new_pts, ok = fb_track(
+        pyr1, pyr2, jnp.asarray(pts), prior, jnp.ones((n,), bool),
+        levels=1, window=9, max_distance=1.0,
+    )
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.6
+    err = np.linalg.norm(
+        np.asarray(new_pts)[ok] - (pts[ok] + np.array(shift)), axis=-1
+    )
+    assert np.median(err) < 0.3

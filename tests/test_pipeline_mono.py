@@ -1,0 +1,52 @@
+"""End-to-end monocular pipeline on a synthetic rendered scene.
+
+Exercises every kernel family (pyramid, LK, Shi-Tomasi, essential RANSAC,
+P3P+PnP, triangulation, BA) plus the host map pipeline, and checks the
+estimated trajectory against exact ground truth (up-to-scale ATE, since
+monocular SLAM has a free global scale).
+"""
+import numpy as np
+import pytest
+
+from slamtpu import Camera, Params
+from slamtpu.datasets.synthetic import make_scene
+from slamtpu.eval.ate import ate_rmse
+from slamtpu.io.saver import ReplaySaver
+from slamtpu.models.slam_manager import SlamManager
+
+
+@pytest.mark.slow
+def test_mono_pipeline_tracks_trajectory():
+    scene = make_scene(
+        n_frames=12, height=160, width=224, n_points=900, seed=4
+    )
+    params = Params(
+        stereo=False,
+        max_nb_keypoints=400,
+        max_distance=24,
+        keypoint_capacity=512,
+        initial_parallax=8.0,
+        do_local_bundle_adjustment=True,
+        sequential=True,
+    )
+    saver = ReplaySaver()
+    sm = SlamManager(params, scene.camera, slam_io=saver)
+
+    for i in range(len(scene)):
+        left, _ = scene.frame(i)
+        sm.add_image(left, float(scene.timestamps[i]))
+
+    assert not params.reset_required
+    assert params.vision_initialized
+    assert sm.map_manager.nb_keyframes >= 2
+    # Some landmarks triangulated.
+    n_3d = sum(1 for mp in sm.map_manager.map_points.values() if mp.is_3d)
+    assert n_3d > 50
+
+    est = saver.trajectory_xyz()
+    gt = np.stack([p[:3, 3] for p in scene.poses_wc])
+    assert len(est) == len(gt)
+    # Up-to-scale ATE against exact ground truth.
+    err = ate_rmse(est.astype(np.float64), gt, align_scale=True)
+    total = np.linalg.norm(gt[-1] - gt[0])
+    assert err < 0.05 * total
