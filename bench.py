@@ -1,0 +1,102 @@
+"""End-to-end SLAM benchmark.
+
+Runs the full stereo pipeline (front-end tracking + mapping + local BA) at
+the KITTI workload point (1241x376 grayscale, 1000-keypoint budget,
+reference defaults) and reports steady-state end-to-end FPS.
+
+Uses KITTI odometry seq 05 if available (env KITTI_DIR or ./data/kitti),
+otherwise a synthetic KITTI-sized stereo scene with exact ground truth.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = fps / 60 (BASELINE.json north star: >= 60 FPS on one v5e).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "12"))
+
+
+def load_frames():
+    from slamtpu import Camera, Params
+
+    kitti_dir = os.environ.get("KITTI_DIR", "data/kitti")
+    seq = os.environ.get("KITTI_SEQ", "05")
+    if os.path.isdir(os.path.join(kitti_dir, "sequences", seq)):
+        from slamtpu.datasets.kitti import load_kitti
+
+        ds = load_kitti(kitti_dir, seq, stereo=True)
+        fx, fy = ds.K[0, 0], ds.K[1, 1]
+        cx, cy = ds.K[0, 3], ds.K[1, 3]
+        camera = Camera(fx, fy, cx, cy, ds.height, ds.width)
+        right_camera = Camera(fx, fy, cx, cy, ds.height, ds.width, Ti0=ds.Ti0)
+        n = min(N_FRAMES, len(ds))
+        frames = [ds[i] for i in range(n)]
+        times = ds.timestamps[:n]
+        gt = ds.ground_truth_positions()[:n] if ds.poses else None
+        return "kitti05", camera, right_camera, frames, times, gt
+
+    from slamtpu.datasets.synthetic import make_scene
+
+    scene = make_scene(
+        n_frames=N_FRAMES, height=376, width=1241, n_points=6000,
+        stereo=True, baseline=0.54, seed=7,
+    )
+    frames = [scene.frame(i) for i in range(len(scene))]
+    gt = np.stack([p[:3, 3] for p in scene.poses_wc])
+    return ("synthetic_kitti_sized", scene.camera, scene.right_camera,
+            frames, scene.timestamps, gt)
+
+
+def main():
+    from slamtpu import Params
+    from slamtpu.eval.ate import ate_rmse
+    from slamtpu.io.saver import ReplaySaver
+    from slamtpu.models.slam_manager import SlamManager
+
+    name, camera, right_camera, frames, times, gt = load_frames()
+
+    params = Params(stereo=True, do_local_bundle_adjustment=True,
+                    map_filtering=True, sequential=True)
+    saver = ReplaySaver()
+    sm = SlamManager(params, camera, right_camera=right_camera,
+                     slam_io=saver)
+
+    stamps = []
+    for i, (left, right) in enumerate(frames):
+        t0 = time.perf_counter()
+        sm.add_stereo_image(left, right, float(times[i]))
+        stamps.append(time.perf_counter() - t0)
+
+    steady = stamps[WARMUP:] if len(stamps) > WARMUP else stamps
+    fps = 1.0 / float(np.mean(steady))
+
+    extras = {}
+    if gt is not None and len(saver.trajectory_xyz()) == len(gt):
+        try:
+            extras["ate_rmse_m"] = round(
+                ate_rmse(saver.trajectory_xyz().astype(np.float64), gt,
+                         align_scale=False), 4)
+        except Exception:
+            pass
+    extras["frames"] = len(frames)
+    extras["n_keyframes"] = sm.map_manager.nb_keyframes
+
+    from slamtpu.utils.profiling import TIMERS
+    print("stage timers:", json.dumps(TIMERS.summary()), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"fps_{name}_stereo_e2e",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,11 +13,13 @@ import logging
 from typing import Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.ba import local_bundle_adjustment
 from ..params import Params
 from ..utils.padding import next_bucket
+from ..utils.profiling import TIMERS
 from .frame import Frame
 from .map_manager import MapManager
 
@@ -50,10 +52,11 @@ class Estimator:
 
     def process(self, new_kf: Frame):
         if self.params.do_local_bundle_adjustment and new_kf.kfid >= 2:
-            with self.map_manager.optimization_lock:
+            with self.map_manager.optimization_lock, TIMERS.stage("es.ba"):
                 self.local_bundle_adjustment(new_kf)
         if self.params.map_filtering:
-            self.map_filtering(new_kf)
+            with TIMERS.stage("es.filter"):
+                self.map_filtering(new_kf)
 
     # -- BA problem assembly (estimator.jl:143-266) ------------------------------
 
@@ -213,6 +216,7 @@ class Estimator:
                 iters2=p.ba_phase2_iterations,
                 repr_eps=5.0,
             )
+            res = jax.device_get(res)
             with mm.map_lock:
                 self._update_ba_parameters(cache, res, new_frame.kfid,
                                            n_poses, n_points, n_obs)

@@ -12,6 +12,7 @@ import math
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.features import (
@@ -57,9 +58,7 @@ class Extractor:
             cell_size=self.cell_size, radius=self.radius,
             min_response=self.min_response,
         )
-        vals = np.asarray(vals)
-        ys = np.asarray(ys)
-        xs = np.asarray(xs)
+        vals, ys, xs = jax.device_get((vals, ys, xs))
         out = []
         k = min(n_cell_detect, vals.shape[1])
         for c in range(vals.shape[0]):
@@ -83,7 +82,8 @@ class Extractor:
         bits, ok = brief_describe(
             image_dev, jnp.asarray(kp), jnp.asarray(valid), self.pattern
         )
-        bits = np.asarray(bits)[:n]
-        ok = np.asarray(ok)[:n]
+        bits, ok = jax.device_get((bits, ok))
+        bits = bits[:n]
+        ok = ok[:n]
         packed = pack_descriptor_bits(bits)
         return [packed[i] if ok[i] else None for i in range(n)]

@@ -22,6 +22,7 @@ from ..ops.mvg import essential_ransac
 from ..ops.pnp import p3p_ransac, pnp_refine
 from ..params import Params
 from ..utils.padding import pad_rows, valid_mask
+from ..utils.profiling import TIMERS
 from .frame import Frame
 from .map_manager import MapManager
 from .motion_model import MotionModel
@@ -53,34 +54,50 @@ class FrontEnd:
 
     def track_mono(self, image_dev, time: float, slam_io=None) -> bool:
         """front_end.jl:75-118."""
-        self.preprocess(image_dev)
+        with TIMERS.stage("fe.preprocess"):
+            self.preprocess(image_dev)
         if self.current_frame.id == 1:
+            # Record the origin pose (the reference only records from frame 2
+            # onward; keeping frame 1 makes the saved trajectory complete).
+            self.current_frame.set_wc(self.current_frame.wc, slam_io)
             return True
 
         new_pose = self.motion_model.predict(self.current_frame.wc, time)
         self.current_frame.set_wc(new_pose, slam_io)
 
-        self.klt_tracking()
+        with TIMERS.stage("fe.klt"):
+            self.klt_tracking()
 
         if not self.params.vision_initialized:
             if self.current_frame.nb_keypoints < 50:
                 log.warning("[FE] NB KP < 50. Reset required.")
                 self.params.reset_required = True
                 return False
-            if self.check_ready_for_init(slam_io):
+            if self.params.stereo and self.current_frame.nb_3d_kpts >= 30:
+                # Stereo fast-init: stereo triangulation at keyframe 0 already
+                # produced metric 3D points, so the mono parallax gate
+                # (reference front_end.jl:92, "TODO option for stereo") is
+                # unnecessary — start P3P tracking immediately.
+                log.debug("[FE] Stereo fast initialization.")
+                self.params.vision_initialized = True
+                # fall through to the tracking path below
+            elif self.check_ready_for_init(slam_io):
                 log.debug("[FE] System ready for initialization.")
                 self.params.vision_initialized = True
                 return True
-            return False
+            else:
+                return False
 
         # Epipolar filtering; fallback pose if P3P fails (front_end.jl:104-109).
-        pose_5pt = self.compute_pose_5pt(
-            min_parallax=5.0, use_motion_model=True
-        )
+        with TIMERS.stage("fe.5pt"):
+            pose_5pt = self.compute_pose_5pt(
+                min_parallax=5.0, use_motion_model=True
+            )
         if self.map_manager.nb_keyframes > 2 and pose_5pt is not None:
             self.current_frame.set_cw(pose_5pt, slam_io)
 
-        self.compute_pose(slam_io)
+        with TIMERS.stage("fe.pose"):
+            self.compute_pose(slam_io)
 
         self.motion_model.update(self.current_frame.wc, time)
         return self.check_new_kf_required()
@@ -124,6 +141,7 @@ class FrontEnd:
             hypotheses=self.params.ransac_pnp_hypotheses,
             threshold=self.params.max_reprojection_error,
         )
+        res = jax.device_get(res)  # one batched fetch over the tunnel
         n_inliers = int(res["n_inliers"])
         if n_inliers < 5:
             log.warning("[FE] P3P too few inliers - resetting!")
@@ -151,6 +169,7 @@ class FrontEnd:
             iters1=5, iters2=10,
             repr_eps=self.params.max_reprojection_error,
         )
+        ref = jax.device_get(ref)
         outliers = np.asarray(ref["outliers"])[:m]
         n_outliers = int(ref["n_outliers"])
         if m - n_outliers < 5 or float(ref["final_error"]) > float(
@@ -226,6 +245,7 @@ class FrontEnd:
             hypotheses=self.params.ransac_essential_hypotheses,
             threshold=self.params.max_reprojection_error,
         )
+        res = jax.device_get(res)
         n_inliers = int(res["n_inliers"])
         if n_inliers < 5:
             log.warning("[FE] Not enough inliers (%d) for 5pt.", n_inliers)
@@ -292,7 +312,10 @@ class FrontEnd:
         median_parallax = self.compute_parallax(
             prev_kf.kfid, compensate_rotation=True, only_2d=False,
         )
-        cx = median_parallax >= p.initial_parallax / 2.0
+        # Stereo has metric depth, so keyframe need is driven by 3D-point
+        # decay, not parallax (the reference's "TODO option for stereo",
+        # front_end.jl:381-385).
+        cx = median_parallax >= p.initial_parallax / 2.0 or p.stereo
         c0 = median_parallax >= p.initial_parallax
         c1 = frame.nb_3d_kpts < 0.75 * prev_kf.nb_3d_kpts
         c2 = (frame.nb_occupied_cells < 0.5 * p.max_nb_keypoints

@@ -13,11 +13,13 @@ import threading
 from typing import Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..camera import Camera
 from ..ops.lucas_kanade import fb_track
 from ..params import Params
+from ..utils.profiling import TIMERS
 from .extractor import Extractor
 from .frame import Frame
 from .map_point import MapPoint
@@ -60,9 +62,11 @@ class MapManager:
 
     def create_keyframe(self, image_dev):
         log.debug("[MM] Creating new keyframe %d.", self.current_keyframe_id)
-        self.prepare_frame()
-        self.extract_keypoints(image_dev)
-        self.add_keyframe()
+        with TIMERS.stage("mm.create_kf"):
+            self.prepare_frame()
+            with TIMERS.stage("mm.extract"):
+                self.extract_keypoints(image_dev)
+            self.add_keyframe()
 
     def prepare_frame(self):
         self.current_frame.kfid = self.current_keyframe_id
@@ -304,12 +308,31 @@ class MapManager:
                 # reference keeps the keypoint untracked this frame
                 # (map_manager.jl:500-507) — same here.
 
-        # -- 3D keypoints: track with projection prior at 1 pyramid level.
+        # Dispatch both tracking families asynchronously, then fetch the
+        # results in ONE batched device_get (the device runs behind a
+        # high-latency tunnel; every separate fetch costs ~30 ms).
+        fut3d = None
         if ids3d:
-            new_pts, status = self._fb_batch(
+            fut3d = self._fb_dispatch(
                 from_pyramid, to_pyramid, px3d, disp3d, cap,
                 levels=PYRAMID_LEVELS_3D,
             )
+        fut2d = None
+        if ids2d:
+            fut2d = self._fb_dispatch(
+                from_pyramid, to_pyramid, px2d,
+                [np.zeros(2)] * len(px2d), cap, levels=p.pyramid_levels,
+            )
+        fetched = jax.device_get(
+            tuple(f for f in (fut3d, fut2d) if f is not None)
+        )
+        it = iter(fetched)
+        res3d = next(it) if fut3d is not None else None
+        res2d = next(it) if fut2d is not None else None
+
+        retry_ids, retry_px = [], []
+        if res3d is not None:
+            new_pts, status = res3d
             nb_good = 0
             for j, kpid in enumerate(ids3d):
                 if status[j]:
@@ -320,20 +343,31 @@ class MapManager:
                         frame.update_keypoint(kpid, new_pts[j])
                         nb_good += 1
                 else:
-                    # Failed with prior -> retry as plain 2D w/o prior.
-                    ids2d.append(kpid)
-                    px2d.append(px3d[j])
+                    # Failed with prior -> retry as plain 2D w/o prior
+                    # (map_manager.jl:534-537).
+                    retry_ids.append(kpid)
+                    retry_px.append(px3d[j])
             log.debug("[MM] 3D points tracked %d. Stereo %s.", nb_good, stereo)
 
-        if not ids2d:
-            return
+        if res2d is not None:
+            new_pts, status = res2d
+            self._apply_2d_results(frame, ids2d, new_pts, status, stereo)
 
-        # -- 2D keypoints: full-pyramid tracking, no prior.
-        new_pts, status = self._fb_batch(
-            from_pyramid, to_pyramid, px2d,
-            [np.zeros(2)] * len(px2d), cap, levels=p.pyramid_levels,
-        )
-        for j, kpid in enumerate(ids2d):
+        if retry_ids:
+            retry_cap = min(cap, 256)
+            fut = self._fb_dispatch(
+                from_pyramid, to_pyramid, retry_px,
+                [np.zeros(2)] * len(retry_px), retry_cap,
+                levels=p.pyramid_levels,
+            )
+            new_pts, status = jax.device_get(fut)
+            self._apply_2d_results(
+                frame, retry_ids, new_pts[:len(retry_ids)],
+                status[:len(retry_ids)], stereo,
+            )
+
+    def _apply_2d_results(self, frame, ids, new_pts, status, stereo):
+        for j, kpid in enumerate(ids):
             if stereo:
                 if status[j]:
                     self.maybe_stereo_update(frame, kpid, new_pts[j])
@@ -343,8 +377,10 @@ class MapManager:
                 else:
                     self.remove_obs_from_current_frame(kpid)
 
-    def _fb_batch(self, from_pyr, to_pyr, pixels, displacements, cap, *,
-                  levels):
+    def _fb_dispatch(self, from_pyr, to_pyr, pixels, displacements, cap, *,
+                     levels):
+        """Asynchronously dispatch one padded FB-tracking batch; returns
+        device arrays (new_points, ok) truncated lazily by the caller."""
         p = self.params
         n = len(pixels)
         if n > cap:
@@ -356,14 +392,13 @@ class MapManager:
         pts[:n] = np.asarray(pixels[:n], np.float32).reshape(n, 2)
         disp[:n] = np.asarray(displacements[:n], np.float32).reshape(n, 2)
         valid[:n] = True
-        new_pts, ok = fb_track(
+        return fb_track(
             from_pyr, to_pyr, jnp.asarray(pts), jnp.asarray(disp),
             jnp.asarray(valid),
             levels=levels, window=p.window_size, iters=p.lk_iterations,
             eps=p.lk_epsilon, eig_thresh=p.lk_eigenvalue_threshold,
-            max_distance=p.max_ktl_distance,
+            max_distance=p.max_ktl_distance, pad=p.window_size + 2,
         )
-        return np.asarray(new_pts)[:n], np.asarray(ok)[:n]
 
     def maybe_stereo_update(self, frame: Frame, kpid, new_position,
                             epipolar_error: float = 2.0) -> bool:

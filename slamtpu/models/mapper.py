@@ -22,6 +22,7 @@ from .. import hostmath as hm
 from ..ops.image import build_lk_pyramid
 from ..ops.mvg import triangulate_batch
 from ..params import Params
+from ..utils.profiling import TIMERS
 from .estimator import Estimator
 from .frame import Frame
 from .map_manager import MapManager
@@ -81,17 +82,19 @@ class Mapper:
                 sigma=self.params.pyramid_sigma,
                 pad=self.params.window_size + 2,
             )
-            mm.optical_flow_matching(
-                new_keyframe, kf.left_pyramid, self.right_pyramid, stereo=True
-            )
+            with TIMERS.stage("mp.stereo_match"):
+                mm.optical_flow_matching(
+                    new_keyframe, kf.left_pyramid, self.right_pyramid,
+                    stereo=True,
+                )
             log.debug("[MP] Stereo matching: %d keypoints.",
                       new_keyframe.nb_stereo_kpts)
             if new_keyframe.nb_stereo_kpts > 0:
-                with mm.map_lock:
+                with mm.map_lock, TIMERS.stage("mp.tri_stereo"):
                     self.triangulate_stereo(new_keyframe)
 
         if new_keyframe.nb_2d_kpts > 0 and new_keyframe.kfid > 0:
-            with mm.map_lock:
+            with mm.map_lock, TIMERS.stage("mp.triangulate"):
                 self.triangulate_temporal(new_keyframe)
 
         # Bad-initialization reset checks (mapper.jl:104-116).

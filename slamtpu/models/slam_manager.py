@@ -38,6 +38,8 @@ class SlamManager:
                  right_camera: Optional[Camera] = None, slam_io=None):
         if params.stereo and right_camera is None:
             raise ValueError("[SM] Provide right_camera in stereo mode.")
+        from ..utils.jaxcache import enable_compilation_cache
+        enable_compilation_cache()
         self.params = params
         self.camera = camera
         self.right_camera = right_camera

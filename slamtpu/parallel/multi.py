@@ -1,0 +1,156 @@
+"""Multi-chip scaling: data-parallel multi-sequence tracking with a
+keypoint-sharded estimation step over a jax.sharding.Mesh.
+
+The reference is a single-process shared-memory system (SURVEY.md section
+2.3); its scale axes are keypoint count and map size. On TPU the natural
+multi-chip layout for a fleet of SLAM sessions is:
+
+  - mesh axis "data": independent sequences (batch of SLAM sessions), no
+    cross-talk — pure DP;
+  - mesh axis "model": the keypoint axis of each sequence is sharded across
+    chips (images replicated) — the LK windowed gathers are local per shard,
+    and the pose-estimation normal equations (sum over keypoints) become an
+    XLA all-reduce over ICI that the compiler inserts from the sharding
+    annotations alone.
+
+`multi_sequence_step` is the jitted "training step": forward-backward KLT on
+every sequence + one Gauss-Newton pose update from the tracked 3D points.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.image import build_lk_pyramid
+from ..ops.lucas_kanade import fb_track
+from ..ops.se3 import rot_zyx
+
+
+def make_mesh(n_devices: int) -> Mesh:
+    devs = jax.devices()[:n_devices]
+    if n_devices >= 4 and n_devices % 2 == 0:
+        shape = (n_devices // 2, 2)
+    else:
+        shape = (n_devices, 1)
+    return Mesh(np.asarray(devs).reshape(shape), ("data", "model"))
+
+
+def _pose_gauss_newton(theta, points3d, pixels_yx, weights, intrinsics):
+    """One GN step on the 6-DoF pose from weighted reprojection residuals.
+
+    The sum over the (possibly model-sharded) keypoint axis is where XLA
+    inserts the cross-chip all-reduce.
+    """
+    def resid(th, pt, px):
+        R = rot_zyx(th[:3])
+        pc = R @ pt + th[3:]
+        z = jnp.where(jnp.abs(pc[2]) < 1e-9, 1e-9, pc[2])
+        proj = jnp.stack(
+            [intrinsics[1] * pc[1] / z + intrinsics[3],
+             intrinsics[0] * pc[0] / z + intrinsics[2]]
+        )
+        return px - proj
+
+    r = jax.vmap(lambda pt, px: resid(theta, pt, px))(points3d, pixels_yx)
+    J = jax.vmap(
+        lambda pt, px: jax.jacfwd(lambda th: resid(th, pt, px))(theta)
+    )(points3d, pixels_yx)
+    w = weights[:, None]
+    r = r * w
+    J = J * w[:, :, None]
+    H = jnp.einsum("nia,nib->ab", J, J) + 1e-6 * jnp.eye(6)
+    g = jnp.einsum("nia,ni->a", J, r)
+    return theta - jnp.linalg.solve(H, g), jnp.sum(r * r)
+
+
+def _one_sequence(img_prev, img_cur, points, points3d, theta, valid,
+                  intrinsics, *, levels, window):
+    pyr_prev = build_lk_pyramid(img_prev, levels=levels, pad=window + 2)
+    pyr_cur = build_lk_pyramid(img_cur, levels=levels, pad=window + 2)
+    new_points, ok = fb_track(
+        pyr_prev, pyr_cur, points, jnp.zeros_like(points), valid,
+        levels=levels, window=window, max_distance=1.0, pad=window + 2,
+    )
+    weights = ok.astype(jnp.float32)
+    new_theta, cost = _pose_gauss_newton(
+        theta, points3d, new_points, weights, intrinsics
+    )
+    return new_points, ok, new_theta, cost
+
+
+def multi_sequence_step(mesh: Mesh, *, levels: int = 2, window: int = 5):
+    """Build the jitted sharded step: (B, ...) batch over ("data", "model")."""
+    data_img = NamedSharding(mesh, P("data", None, None))
+    data_pts = NamedSharding(mesh, P("data", "model", None))
+    data_msk = NamedSharding(mesh, P("data", "model"))
+    data_vec = NamedSharding(mesh, P("data", None))
+    data_scalar = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    fn = jax.vmap(
+        functools.partial(_one_sequence, levels=levels, window=window),
+        in_axes=(0, 0, 0, 0, 0, 0, None),
+    )
+
+    return jax.jit(
+        fn,
+        in_shardings=(data_img, data_img, data_pts, data_pts, data_vec,
+                      data_msk, repl),
+        out_shardings=(data_pts, data_msk, data_vec, data_scalar),
+    )
+
+
+def dryrun(n_devices: int, batch: int | None = None, height: int = 48,
+           width: int = 64, n_points: int = 32):
+    """Compile + execute one sharded multi-sequence step on tiny shapes."""
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape["data"]
+    sp = mesh.shape["model"]
+    if batch is None:
+        batch = dp
+    n_points = max(n_points, sp)
+    n_points = -(-n_points // sp) * sp  # divisible by the model axis
+
+    rng = np.random.default_rng(0)
+    img_prev = rng.uniform(size=(batch, height, width)).astype(np.float32)
+    img_cur = img_prev.copy()
+    points = np.stack(
+        [
+            rng.uniform(8, height - 8, (batch, n_points)),
+            rng.uniform(8, width - 8, (batch, n_points)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    points3d = np.concatenate(
+        [
+            (points[..., ::-1] - np.array([width / 2, height / 2]))
+            / (0.9 * width),
+            np.ones((batch, n_points, 1)),
+        ],
+        axis=-1,
+    ).astype(np.float32) * 10.0
+    theta = np.zeros((batch, 6), np.float32)
+    theta[:, 5] = 0.0
+    valid = np.ones((batch, n_points), bool)
+    intrinsics = np.array(
+        [0.9 * width, 0.9 * width, width / 2, height / 2], np.float32
+    )
+
+    step = multi_sequence_step(mesh)
+    new_points, ok, new_theta, cost = step(
+        jnp.asarray(img_prev), jnp.asarray(img_cur), jnp.asarray(points),
+        jnp.asarray(points3d), jnp.asarray(theta), jnp.asarray(valid),
+        jnp.asarray(intrinsics),
+    )
+    jax.block_until_ready((new_points, ok, new_theta, cost))
+    assert new_points.shape == points.shape
+    assert new_theta.shape == theta.shape
+    return {
+        "mesh": dict(mesh.shape),
+        "tracked": int(np.asarray(ok).sum()),
+        "cost": [float(c) for c in np.asarray(cost)],
+    }

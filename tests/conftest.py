@@ -1,14 +1,14 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-The driver validates multi-chip sharding with
-`--xla_force_host_platform_device_count`; tests use the same setup so the
-suite runs anywhere (no TPU required).
+The container's sitecustomize pre-imports jax (with JAX_PLATFORMS=axon) in
+every Python process, so env vars set here are too late — use
+jax.config.update, which works until backends are initialized.
 """
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
