@@ -52,13 +52,17 @@ class Extractor:
         n_detect = self.max_points - len(current_points)
         n_cell_detect = math.ceil(n_detect / n_cells)
 
-        occ, val = self._pad_points(current_points)
-        vals, ys, xs = detect_keypoints(
-            image_dev, occ, val,
-            cell_size=self.cell_size, radius=self.radius,
-            min_response=self.min_response,
-        )
-        vals, ys, xs = jax.device_get((vals, ys, xs))
+        from ..utils.profiling import TIMERS
+        with TIMERS.stage("ex.pad"):
+            occ, val = self._pad_points(current_points)
+        with TIMERS.stage("ex.dispatch"):
+            vals, ys, xs = detect_keypoints(
+                image_dev, occ, val,
+                cell_size=self.cell_size, radius=self.radius,
+                min_response=self.min_response,
+            )
+        with TIMERS.stage("ex.fetch"):
+            vals, ys, xs = jax.device_get((vals, ys, xs))
         out = []
         k = min(n_cell_detect, vals.shape[1])
         for c in range(vals.shape[0]):

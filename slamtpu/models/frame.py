@@ -147,6 +147,23 @@ class Frame:
         self._grid_update(ckp, kp)
         self.keypoints[kpid] = kp
 
+    def update_keypoint_precomputed(self, kpid, pixel, undistorted,
+                                    position):
+        """update_keypoint with device-precomputed undistort/backproject
+        (the fused front-end step returns them; frame.jl:252-270)."""
+        ckp = self.keypoints.get(kpid)
+        if ckp is None:
+            return
+        kp = ckp.copy()
+        kp.pixel = np.asarray(pixel, dtype=np.float64)
+        kp.undistorted_pixel = np.asarray(undistorted, dtype=np.float64)
+        kp.position = np.asarray(position, dtype=np.float64)
+        if kp.is_stereo:
+            kp.is_stereo = False
+            self.nb_stereo_kpts -= 1
+        self._grid_update(ckp, kp)
+        self.keypoints[kpid] = kp
+
     def update_stereo_keypoint(self, kpid, right_pixel):
         """frame.jl:272-288."""
         kp = self.keypoints.get(kpid)

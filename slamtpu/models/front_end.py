@@ -41,13 +41,19 @@ class FrontEnd:
         self.previous_pyramid = None
         self.current_image_dev = None
         self._intrinsics = jnp.asarray(frame.camera.intrinsics_array())
+        self._distortion = jnp.asarray(frame.camera.distortion_array())
         self._pad = params.window_size + 2
 
     # -- entry (front_end.jl:58-73) -----------------------------------------
 
     def track(self, image_dev, time: float, slam_io=None) -> bool:
         with self.map_manager.map_lock:
-            is_kf_required = self.track_mono(image_dev, time, slam_io)
+            if self.params.fused_front_end:
+                is_kf_required = self.track_mono_fused(
+                    image_dev, time, slam_io
+                )
+            else:
+                is_kf_required = self.track_mono(image_dev, time, slam_io)
             if is_kf_required:
                 self.map_manager.create_keyframe(image_dev)
         return is_kf_required
@@ -101,6 +107,245 @@ class FrontEnd:
 
         self.motion_model.update(self.current_frame.wc, time)
         return self.check_new_kf_required()
+
+    # ------------------------------------------------------------------
+    # Fused tracking path: the whole post-init per-frame step runs as ONE
+    # device program + ONE fetch (slamtpu.ops.frontend_step).
+    # ------------------------------------------------------------------
+
+    def track_mono_fused(self, image_dev, time: float, slam_io=None) -> bool:
+        with TIMERS.stage("fe.preprocess"):
+            self.preprocess(image_dev)
+        frame = self.current_frame
+        if frame.id == 1:
+            frame.set_wc(frame.wc, slam_io)
+            return True
+
+        new_pose = self.motion_model.predict(frame.wc, time)
+        frame.set_wc(new_pose, slam_io)
+
+        if not self.params.vision_initialized:
+            # Pre-init: unfused KLT + init logic (rare frames).
+            with TIMERS.stage("fe.klt"):
+                self.klt_tracking()
+            if frame.nb_keypoints < 50:
+                log.warning("[FE] NB KP < 50. Reset required.")
+                self.params.reset_required = True
+                return False
+            if self.params.stereo and frame.nb_3d_kpts >= 30:
+                log.debug("[FE] Stereo fast initialization.")
+                self.params.vision_initialized = True
+                return True  # becomes a keyframe; tracking resumes fused
+            if self.check_ready_for_init(slam_io):
+                log.debug("[FE] System ready for initialization.")
+                self.params.vision_initialized = True
+                return True
+            return False
+
+        prev_kf = self.map_manager.frames_map.get(frame.kfid)
+        if prev_kf is None:
+            return False
+
+        with TIMERS.stage("fe.fused"):
+            res, ids, attempted, has_mp, join_ids = self._dispatch_fused(
+                frame, prev_kf
+            )
+        with TIMERS.stage("fe.apply"):
+            kf_required = self._apply_fused(
+                res, ids, attempted, has_mp, join_ids, frame, prev_kf,
+                time, slam_io,
+            )
+        return kf_required
+
+    def _dispatch_fused(self, frame: Frame, prev_kf: Frame):
+        from ..ops.frontend_step import frontend_step
+
+        _t_assemble = TIMERS.stage("fe.fused.assemble")
+        _t_assemble.__enter__()
+        p = self.params
+        cap = p.keypoint_capacity
+        mm = self.map_manager
+        scale3d = 0.5  # 1 / 2^pyramid_levels_3d (map_manager.jl:458,466)
+
+        ids, px, is3d_prior, disp, mp_pos, has_mp, attempted = (
+            [], [], [], [], [], [], []
+        )
+        for kp in list(frame.keypoints.values()):
+            mp = mm.map_points.get(kp.id) if kp.is_3d else None
+            if kp.is_3d and mp is None:
+                mm.remove_mappoint_obs(kp.id, frame.kfid)
+                continue
+            ids.append(kp.id)
+            px.append(kp.pixel)
+            if kp.is_3d:
+                position = mp.get_position()
+                projection = frame.project_world_to_image_distort(position)
+                if frame.in_image(projection):
+                    is3d_prior.append(True)
+                    disp.append(scale3d * (projection - kp.pixel))
+                    attempted.append(True)
+                else:
+                    # Untracked this frame (map_manager.jl:500-507).
+                    is3d_prior.append(False)
+                    disp.append(np.zeros(2))
+                    attempted.append(False)
+                mp_pos.append(position)
+                has_mp.append(True)
+            else:
+                is3d_prior.append(False)
+                disp.append(np.zeros(2))
+                attempted.append(True)
+                mp_pos.append(np.zeros(3))
+                has_mp.append(False)
+
+        n = len(ids)
+        id_to_slot = {kpid: i for i, kpid in enumerate(ids)}
+
+        join_ids, join_idx, prev_und, prev_bear = [], [], [], []
+        for kpid, pkp in prev_kf.keypoints.items():
+            slot = id_to_slot.get(kpid)
+            if slot is None or not attempted[slot]:
+                continue
+            join_ids.append(kpid)
+            join_idx.append(slot)
+            prev_und.append(pkp.undistorted_pixel[::-1])
+            prev_bear.append(pkp.position[:2])
+        m = len(join_ids)
+
+        valid_n = valid_mask(n, cap)
+        attempted_arr = np.zeros((cap,), bool)
+        attempted_arr[:n] = attempted
+        R_comp = (prev_kf.get_Rcw() @ frame.get_Rwc()).astype(np.float32)
+        theta_pred = hm.pose_to_theta(frame.cw).astype(np.float32)
+
+        _t_assemble.__exit__(None, None, None)
+        with TIMERS.stage("fe.fused.dispatch"):
+            res = frontend_step(
+                    self.previous_pyramid, self.current_pyramid,
+                jnp.asarray(pad_rows(px, cap, np.float32) if n else
+                            np.zeros((cap, 2), np.float32)),
+                jnp.asarray(valid_n & attempted_arr),
+                jnp.asarray(pad_rows(np.asarray(is3d_prior, bool), cap)
+                            if n else np.zeros((cap,), bool)),
+                jnp.asarray(pad_rows(disp, cap, np.float32) if n else
+                            np.zeros((cap, 2), np.float32)),
+                jnp.asarray(pad_rows(mp_pos, cap, np.float32) if n else
+                            np.zeros((cap, 3), np.float32)),
+                jnp.asarray(pad_rows(np.asarray(has_mp, bool), cap)
+                            if n else np.zeros((cap,), bool)),
+                jnp.asarray(pad_rows(np.asarray(join_idx, np.int32), cap)
+                            if m else np.zeros((cap,), np.int32)),
+                jnp.asarray(valid_mask(m, cap)),
+                jnp.asarray(pad_rows(prev_und, cap, np.float32) if m else
+                            np.zeros((cap, 2), np.float32)),
+                jnp.asarray(pad_rows(prev_bear, cap, np.float32) if m else
+                            np.zeros((cap, 2), np.float32)),
+                jnp.asarray(R_comp),
+                jnp.asarray(theta_pred),
+                self._intrinsics,
+                self._distortion,
+                self._ransac_key(2),
+                levels=p.pyramid_levels, window=p.window_size,
+                iters=p.lk_iterations, eps=p.lk_epsilon,
+                eig_thresh=p.lk_eigenvalue_threshold, pad=self._pad,
+                max_fb_distance=p.max_ktl_distance,
+                essential_hypotheses=p.ransac_essential_hypotheses,
+                    pnp_hypotheses=p.ransac_pnp_hypotheses,
+                threshold=p.max_reprojection_error,
+            )
+        with TIMERS.stage("fe.fused.fetch"):
+            res = jax.device_get(res)  # the ONE round trip for this frame
+        return res, ids, attempted, has_mp, join_ids
+
+    def _apply_fused(self, res, ids, attempted, has_mp, join_ids,
+                     frame: Frame, prev_kf: Frame, time: float,
+                     slam_io=None) -> bool:
+        p = self.params
+        mm = self.map_manager
+        n = len(ids)
+
+        # 1. KLT keypoint updates/removals (map_manager.jl:524-562).
+        ok = res["ok"][:n]
+        new_px = res["new_px"][:n]
+        und_px = res["und_px"][:n]
+        bearings = res["bearings"][:n]
+        for i, kpid in enumerate(ids):
+            if not attempted[i]:
+                continue
+            if ok[i]:
+                frame.update_keypoint_precomputed(
+                    kpid, new_px[i], und_px[i], bearings[i]
+                )
+            else:
+                mm.remove_obs_from_current_frame(kpid)
+
+        # 2. Essential epipolar outlier removal + 5pt fallback pose
+        #    (front_end.jl:102-109,315-330).
+        pose_5pt = None
+        if res["ess_gate"]:
+            ess_out = res["ess_outlier"][:n]
+            for i, kpid in enumerate(ids):
+                if ess_out[i]:
+                    mm.remove_obs_from_current_frame(kpid)
+            P = np.asarray(res["ess_pose"], np.float64)
+            prev_cw = prev_kf.cw
+            current = prev_cw @ frame.wc
+            scale = float(np.linalg.norm(current[:3, 3]))
+            R, t = P[:3, :3], P[:3, 3]
+            norm_t = float(np.linalg.norm(t))
+            if norm_t > 1e-12:
+                t = scale * t / norm_t
+            pose_5pt = hm.rt_to_4x4(R, t) @ prev_cw
+            if mm.nb_keyframes > 2:
+                frame.set_cw(pose_5pt, slam_io)
+
+        # 3. P3P + PnP refinement application (front_end.jl:168-218).
+        n_p3p = int(res["n_p3p"])
+        if n_p3p < 5:
+            log.warning("[FE] Not enough 3D keypoints to compute P3P %d.",
+                        n_p3p)
+        elif int(res["p3p_n_inliers"]) < 5:
+            log.warning("[FE] P3P too few inliers - resetting!")
+            self.reset_frame()
+        else:
+            p3p_in = res["p3p_inliers"][:n]
+            # The kernel's P3P candidate set: tracked 3D points that are not
+            # epipolar outliers (mirrors front_end.jl:144-155,184-185).
+            ess_out = res["ess_outlier"][:n]
+            has_mp_ok = (
+                ok & np.asarray(has_mp, bool)
+                & ~(ess_out & bool(res["ess_gate"]))
+            )
+            for i, kpid in enumerate(ids):
+                if has_mp_ok[i] and not p3p_in[i]:
+                    mm.remove_obs_from_current_frame(kpid)
+
+            frame.set_cw(np.asarray(res["p3p_cw"], np.float64), slam_io)
+
+            n_inl = int(res["p3p_n_inliers"])
+            n_out = int(res["pnp_n_outliers"])
+            if (n_inl - n_out < 5
+                    or float(res["pnp_final_error"])
+                    > float(res["pnp_initial_error"])):
+                log.warning("[FE] P3P BA too few inliers - resetting!")
+                self.reset_frame()
+            else:
+                pnp_out = res["pnp_outliers"][:n]
+                for i, kpid in enumerate(ids):
+                    if has_mp_ok[i] and p3p_in[i] and pnp_out[i]:
+                        mm.remove_obs_from_current_frame(kpid)
+                frame.set_cw(
+                    hm.theta_to_pose(
+                        np.asarray(res["pnp_theta"], np.float64)
+                    ),
+                    slam_io,
+                )
+
+        # 4. Motion model + keyframe decision (front_end.jl:116-117).
+        self.motion_model.update(frame.wc, time)
+        return self.check_new_kf_required(
+            median_parallax=float(res["median_parallax"])
+        )
 
     # -- P3P + refinement (front_end.jl:132-219) ----------------------------
 
@@ -292,7 +537,7 @@ class FrontEnd:
 
     # -- keyframe decision (front_end.jl:361-393) ----------------------------
 
-    def check_new_kf_required(self) -> bool:
+    def check_new_kf_required(self, median_parallax=None) -> bool:
         frame = self.current_frame
         p = self.params
         prev_kf = self.map_manager.frames_map.get(frame.kfid)
@@ -309,9 +554,10 @@ class FrontEnd:
                 and (p.local_ba_on or frames_delta < 2)):
             return False
 
-        median_parallax = self.compute_parallax(
-            prev_kf.kfid, compensate_rotation=True, only_2d=False,
-        )
+        if median_parallax is None:
+            median_parallax = self.compute_parallax(
+                prev_kf.kfid, compensate_rotation=True, only_2d=False,
+            )
         # Stereo has metric depth, so keyframe need is driven by 3D-point
         # decay, not parallax (the reference's "TODO option for stereo",
         # front_end.jl:381-385).

@@ -31,6 +31,24 @@ from .map_point import mappoint_min_distance
 log = logging.getLogger("slamtpu.mp")
 
 
+def _triangulate_padded(px1, px2, P1, P2):
+    """Bucket-padded DLT triangulation (stable jit cache; the device sits
+    behind a high-latency tunnel where every recompile costs seconds)."""
+    from ..utils.padding import next_bucket
+
+    n = len(px1)
+    cap = next_bucket(n, minimum=128)
+    a = np.zeros((cap, 2), np.float32)
+    b = np.zeros((cap, 2), np.float32)
+    a[:n] = px1
+    b[:n] = px2
+    out = np.asarray(triangulate_batch(
+        jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(P1, jnp.float32), jnp.asarray(P2, jnp.float32),
+    ), np.float64)
+    return out[:n]
+
+
 @dataclass
 class KeyFrame:
     """Queue payload (reference mapper.jl:1-5)."""
@@ -145,10 +163,7 @@ class Mapper:
         px_right = np.array(
             [kp.right_undistorted_pixel[::-1] for kp in cands], np.float32
         )
-        pts = np.asarray(triangulate_batch(
-            jnp.asarray(px_left), jnp.asarray(px_right),
-            jnp.asarray(P1, jnp.float32), jnp.asarray(P2, jnp.float32),
-        ), np.float64)
+        pts = _triangulate_padded(px_left, px_right, P1, P2)
 
         max_error = self.params.max_reprojection_error
         n_good = 0
@@ -231,11 +246,10 @@ class Mapper:
             kpup = np.array(
                 [kp.undistorted_pixel for kp, _ in pairs], np.float64
             )
-            pts = np.asarray(triangulate_batch(
-                jnp.asarray(obup[:, ::-1], jnp.float32),
-                jnp.asarray(kpup[:, ::-1], jnp.float32),
-                jnp.asarray(P1, jnp.float32), jnp.asarray(P2, jnp.float32),
-            ), np.float64)
+            pts = _triangulate_padded(
+                obup[:, ::-1].astype(np.float32),
+                kpup[:, ::-1].astype(np.float32), P1, P2,
+            )
 
             for (kp, okp), lp in zip(pairs, pts):
                 # Rotation-only parallax gate (mapper.jl:239-240).

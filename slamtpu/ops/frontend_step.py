@@ -1,0 +1,241 @@
+"""Fused per-frame front-end device program.
+
+One jitted program per tracked frame = ONE device round trip (the TPU sits
+behind a ~30 ms/RPC tunnel; the unfused path costs 4-5 RPCs). Fuses the
+whole post-init tracking step of reference front_end.jl:75-118:
+
+  1. forward-backward pyramidal KLT for both tracking families
+     (3D-with-projection-prior at 1 level, plain 2D at the full pyramid,
+     failed-3D retry as 2D — map_manager.jl:451-564);
+  2. batched undistort + backproject of the new positions (camera.jl);
+  3. rotation-compensated parallax + 5-point-equivalent essential RANSAC
+     epipolar filter over the previous-keyframe join set
+     (front_end.jl:243-332);
+  4. P3P RANSAC over the tracked 3D points excluding epipolar outliers
+     (front_end.jl:132-199);
+  5. two-phase LM PnP refinement seeded by the P3P pose
+     (front_end.jl:202-206, bundle_adjustment.jl:113-171);
+  6. the keyframe-decision median parallax under the refined rotation
+     (front_end.jl:382-385).
+
+The host applies all bookkeeping (keypoint moves, observation removals,
+pose writes, motion model, keyframe decision) from the single fetched
+result bundle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .lucas_kanade import lk_flow
+from .mvg import essential_ransac
+from .pnp import p3p_ransac, pnp_refine
+from .se3 import rot_to_zyx
+
+
+def _undistort_backproject(px_yx, intrinsics, dist):
+    """Batched reference camera.jl:98-141: pixel -> undistorted pixel ->
+    normalized ray. Single polynomial application (identity when dist=0)."""
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
+    ny = (px_yx[:, 0] - cy) / fy
+    nx = (px_yx[:, 1] - cx) / fx
+    r2 = ny * ny + nx * nx
+    rd = 1.0 + k1 * r2 + k2 * r2 * r2
+    pp = ny * nx
+    dtx = 2.0 * p1 * pp + p2 * (r2 + 2.0 * ny * ny)
+    dty = p1 * (r2 + 2.0 * nx * nx) + 2.0 * p2 * pp
+    uy = (rd * ny + dty)
+    ux = (rd * nx + dtx)
+    und_px = jnp.stack([uy * fy + cy, ux * fx + cx], axis=-1)
+    bearings = jnp.stack([ux, uy, jnp.ones_like(ux)], axis=-1)  # (x, y, 1)
+    return und_px, bearings
+
+
+def _masked_median(values, mask):
+    """Median over masked entries (sorting with +inf padding)."""
+    n = jnp.sum(mask)
+    vals = jnp.where(mask, values, jnp.inf)
+    s = jnp.sort(vals)
+    lo = jnp.clip((n - 1) // 2, 0, values.shape[0] - 1)
+    hi = jnp.clip(n // 2, 0, values.shape[0] - 1)
+    med = 0.5 * (s[lo] + s[hi])
+    return jnp.where(n > 0, med, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "window", "iters", "eps", "eig_thresh", "pad",
+        "max_fb_distance", "essential_hypotheses", "pnp_hypotheses",
+        "threshold", "min_parallax_5pt",
+    ),
+)
+def frontend_step(
+    pyr_prev, pyr_cur,
+    # Tracked keypoint state, padded to capacity N:
+    px,             # (N, 2) f32 current pixels (y, x)
+    valid,          # (N,) bool
+    is3d_prior,     # (N,) bool — track with projection prior (1 level)
+    disp_prior,     # (N, 2) f32 prior displacement (coarsest-level units)
+    mp_pos,         # (N, 3) f32 world positions (3D keypoints; else 0)
+    has_mp,         # (N,) bool — valid mp_pos entry (feeds P3P)
+    # Previous-keyframe join set (indices into the N axis), padded to M:
+    join_idx,       # (M,) int32
+    join_valid,     # (M,) bool
+    prev_und_xy,    # (M, 2) f32 prev-KF undistorted pixels (x, y)
+    prev_bearing_xy,  # (M, 2) f32 prev-KF normalized coords (x, y)
+    # Geometry:
+    R_comp,         # (3, 3) f32 prev_kf_Rcw @ predicted_Rwc (parallax comp.)
+    theta_predicted,  # (6,) f32 Euler-ZYX cw of the predicted pose
+    intrinsics,     # (4,)
+    dist,           # (4,) distortion
+    key,
+    *,
+    levels: int, window: int, iters: int = 30, eps: float = 1e-2,
+    eig_thresh: float = 1e-4, pad: int = 11, max_fb_distance: float = 1.0,
+    essential_hypotheses: int = 256, pnp_hypotheses: int = 256,
+    threshold: float = 3.0, min_parallax_5pt: float = 5.0,
+):
+    N = px.shape[0]
+
+    # ---- 1. KLT: prior family (1 level), plain family (full pyramid),
+    #            failed-prior retry (full pyramid). --------------------------
+    def fb(points, disp, mask, lv):
+        flow_f, st = lk_flow(
+            pyr_prev, pyr_cur, points, disp, mask,
+            levels=lv, window=window, iters=iters, eps=eps,
+            eig_thresh=eig_thresh, pad=pad,
+        )
+        newp = points + flow_f
+        flow_b, bst = lk_flow(
+            pyr_cur, pyr_prev, newp, -flow_f, st,
+            levels=0, window=window, iters=iters, eps=eps,
+            eig_thresh=eig_thresh, pad=pad,
+        )
+        dist_fb = jnp.linalg.norm(points - (newp + flow_b), axis=-1)
+        return newp, st & bst & (dist_fb < max_fb_distance)
+
+    prior_mask = valid & is3d_prior
+    plain_mask = valid & ~is3d_prior
+
+    new_a, ok_a = fb(px, disp_prior, prior_mask, 1)
+    new_b, ok_b = fb(px, jnp.zeros_like(px), plain_mask, levels)
+    retry_mask = prior_mask & ~ok_a
+    new_c, ok_c = fb(px, jnp.zeros_like(px), retry_mask, levels)
+
+    new_px = jnp.where(
+        (prior_mask & ok_a)[:, None], new_a,
+        jnp.where(retry_mask[:, None], new_c, new_b),
+    )
+    ok = jnp.where(prior_mask, ok_a | ok_c, ok_b) & valid
+    tracked_with_prior = prior_mask & ok_a
+
+    # ---- 2. Batched undistort/backproject. ---------------------------------
+    und_px, bearings = _undistort_backproject(new_px, intrinsics, dist)
+
+    # ---- 3. Essential-matrix epipolar filter over the prev-KF join. --------
+    cur_und = und_px[join_idx]           # (M, 2) (y, x)
+    cur_bear = bearings[join_idx]        # (M, 3)
+    j_ok = join_valid & ok[join_idx]
+
+    # Rotation-compensated parallax at the predicted pose (front_end.jl:278).
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    rot_pos = cur_bear @ R_comp.T
+    z = jnp.where(jnp.abs(rot_pos[:, 2]) < 1e-9, 1e-9, rot_pos[:, 2])
+    rot_px = jnp.stack(
+        [fy * rot_pos[:, 1] / z + cy, fx * rot_pos[:, 0] / z + cx], axis=-1
+    )
+    prev_und_yx = prev_und_xy[:, ::-1]
+    par = jnp.linalg.norm(rot_px - prev_und_yx, axis=-1)
+    n_par = jnp.sum(j_ok)
+    mean_parallax = jnp.sum(jnp.where(j_ok, par, 0.0)) / jnp.maximum(n_par, 1)
+
+    # RANSAC samples indices in [0, n): compact valid join entries first.
+    j_order = jnp.argsort(~j_ok)
+    j_inv = jnp.argsort(j_order)
+    ess = essential_ransac(
+        prev_bearing_xy[j_order], cur_bear[j_order][:, :2],
+        prev_und_xy[j_order], cur_und[j_order][:, ::-1],
+        j_ok[j_order], jnp.maximum(n_par, 1), intrinsics, key,
+        hypotheses=essential_hypotheses, threshold=threshold,
+    )
+    ess_inliers = ess["inliers"][j_inv]
+    ess_gate = (n_par >= 8) & (mean_parallax >= min_parallax_5pt) & (
+        ess["n_inliers"] >= 5
+    )
+    # Outlier mask scattered back over N (front_end.jl:315-319).
+    ess_outlier_m = ess_gate & j_ok & ~ess_inliers
+    ess_outlier = (
+        jnp.zeros((N,), jnp.int32)
+        .at[join_idx]
+        .max(jnp.where(join_valid, ess_outlier_m, False).astype(jnp.int32))
+        .astype(bool)
+    )
+
+    # ---- 4. P3P RANSAC over tracked 3D points (front_end.jl:132-167). ------
+    p3p_mask = ok & has_mp & ~ess_outlier
+    n_p3p = jnp.sum(p3p_mask)
+    bear_unit = bearings / jnp.linalg.norm(bearings, axis=-1, keepdims=True)
+    # Compact valid entries to the front for hypothesis sampling.
+    order = jnp.argsort(~p3p_mask)  # valid first (stable)
+    key_p3p = jax.random.fold_in(key, 1)
+    p3p = p3p_ransac(
+        mp_pos[order], und_px[order][:, ::-1], bear_unit[order],
+        p3p_mask[order], jnp.maximum(n_p3p, 1), intrinsics, key_p3p,
+        hypotheses=pnp_hypotheses, threshold=threshold,
+    )
+    inv_order = jnp.argsort(order)
+    p3p_inliers = p3p["inliers"][inv_order]
+
+    # ---- 5. PnP LM refinement on the inliers (front_end.jl:202-206). -------
+    theta0 = rot_to_zyx(p3p["cw"][:3, :3])
+    theta0 = jnp.concatenate([theta0, p3p["cw"][:3, 3]])
+    ref = pnp_refine(
+        theta0, mp_pos, und_px, p3p_inliers & p3p_mask, intrinsics,
+        iters1=5, iters2=10, repr_eps=threshold,
+    )
+
+    # ---- 6. Keyframe-decision median parallax (front_end.jl:382-385) -------
+    # under the refined rotation: R_comp_final = prev_Rcw @ R_final_wc.
+    from .se3 import rot_zyx  # local import avoids cycle at module load
+    R_cw_final = rot_zyx(ref["theta"][:3])
+    # R_comp = prev_Rcw @ Rwc_pred; Rwc_pred = R_cw_pred^T. Recompose with
+    # the final rotation: prev_Rcw = R_comp @ R_cw_pred.
+    R_cw_pred = rot_zyx(theta_predicted[:3])
+    prev_Rcw = R_comp @ R_cw_pred
+    R_comp_final = prev_Rcw @ R_cw_final.T
+    rot_pos_f = cur_bear @ R_comp_final.T
+    zf = jnp.where(jnp.abs(rot_pos_f[:, 2]) < 1e-9, 1e-9, rot_pos_f[:, 2])
+    rot_px_f = jnp.stack(
+        [fy * rot_pos_f[:, 1] / zf + cy, fx * rot_pos_f[:, 0] / zf + cx],
+        axis=-1,
+    )
+    par_f = jnp.linalg.norm(rot_px_f - prev_und_yx, axis=-1)
+    median_parallax = _masked_median(par_f, j_ok)
+
+    return {
+        "new_px": new_px,
+        "und_px": und_px,
+        "bearings": bearings,
+        "ok": ok,
+        "tracked_with_prior": tracked_with_prior,
+        "mean_parallax": mean_parallax,
+        "n_parallax": n_par,
+        "ess_pose": ess["pose"],
+        "ess_n_inliers": jnp.where(ess_gate, ess["n_inliers"], 0),
+        "ess_gate": ess_gate,
+        "ess_outlier": ess_outlier,
+        "p3p_cw": p3p["cw"],
+        "p3p_inliers": p3p_inliers,
+        "p3p_n_inliers": p3p["n_inliers"],
+        "n_p3p": n_p3p,
+        "pnp_theta": ref["theta"],
+        "pnp_initial_error": ref["initial_error"],
+        "pnp_final_error": ref["final_error"],
+        "pnp_outliers": ref["outliers"],
+        "pnp_n_outliers": ref["n_outliers"],
+        "median_parallax": median_parallax,
+    }

@@ -175,25 +175,50 @@ def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
     return flow, ok
 
 
+def _use_pallas_default() -> bool:
+    # Opt-in while the Mosaic lowering of the per-point VMEM window loads
+    # is being worked out (dynamic lane offsets unsupported).
+    import os
+    if not os.environ.get("SLAMTPU_PALLAS"):
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
-            iters, eps, eig_thresh, pad):
+            iters, eps, eig_thresh, pad, use_pallas=None):
     """Pyramidal LK for N points (reference optflow!, lucas_kanade.jl:9-100).
 
     points: (N, 2) f32 full-resolution (y, x).
     displacement: (N, 2) f32 prior in COARSEST-level units.
     Returns (flow_full_res, status): flow at level 0 scale.
+
+    On TPU backends the per-level step runs as a Pallas kernel with the level
+    maps resident in VMEM (slamtpu.ops.lk_pallas); elsewhere (CPU tests) the
+    pure-XLA formulation below is used — identical contract.
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
     flow = displacement.astype(jnp.float32)
     ok = valid
     for level in range(levels, -1, -1):
         d1, d2 = pyr1[level], pyr2[level]
         hw = pyramid_level_shape(d1, pad)
         p_lvl = jnp.floor(points / (2.0 ** level)).astype(jnp.int32)
-        flow, ok = _lk_level(
-            d1, d2, p_lvl, flow, ok,
-            hw=hw, window=window, iters=iters, eps=eps,
-            eig_thresh=eig_thresh, pad=pad,
-        )
+        if use_pallas:
+            from .lk_pallas import lk_level_pallas
+
+            flow, ok = lk_level_pallas(
+                d1, d2, p_lvl, flow, ok,
+                hw=hw, window=window, iters=iters, eps=eps,
+                eig_thresh=eig_thresh, pad=pad,
+            )
+        else:
+            flow, ok = _lk_level(
+                d1, d2, p_lvl, flow, ok,
+                hw=hw, window=window, iters=iters, eps=eps,
+                eig_thresh=eig_thresh, pad=pad,
+            )
         if level > 0:
             flow = flow * 2.0
     return flow, ok

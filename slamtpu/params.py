@@ -47,6 +47,9 @@ class Params:
     ba_phase2_iterations: int = 10
     # Deterministic seed for RANSAC sampling.
     seed: int = 0
+    # Run the whole post-init per-frame step as one fused device program
+    # (one round trip per frame) instead of separate kernel calls.
+    fused_front_end: bool = True
     # Run mapper/estimator inline (lock-step) instead of worker threads.
     # The reference example drains all queues per frame anyway
     # (example/kitty/main.jl:46-54), so lock-step is the honest default.
