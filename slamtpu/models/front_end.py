@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from .. import hostmath as hm
 from ..ops.image import build_lk_pyramid
+from ..ops.lucas_kanade import lk_pad
 from ..ops.mvg import essential_ransac
 from ..ops.pnp import p3p_ransac, pnp_refine
 from ..params import Params
@@ -40,9 +41,14 @@ class FrontEnd:
         self.current_pyramid = None
         self.previous_pyramid = None
         self.current_image_dev = None
+        # Set after a global reset: the next frame re-bootstraps like frame 1
+        # (the reference's reset path has no re-entry — front_end.jl:77 only
+        # bootstraps on the literal first frame id — so a mid-run reset would
+        # loop forever; this makes recovery actually work).
+        self.needs_bootstrap = False
         self._intrinsics = jnp.asarray(frame.camera.intrinsics_array())
         self._distortion = jnp.asarray(frame.camera.distortion_array())
-        self._pad = params.window_size + 2
+        self._pad = lk_pad(params.window_size)
 
     # -- entry (front_end.jl:58-73) -----------------------------------------
 
@@ -62,7 +68,8 @@ class FrontEnd:
         """front_end.jl:75-118."""
         with TIMERS.stage("fe.preprocess"):
             self.preprocess(image_dev)
-        if self.current_frame.id == 1:
+        if self.current_frame.id == 1 or self.needs_bootstrap:
+            self.needs_bootstrap = False
             # Record the origin pose (the reference only records from frame 2
             # onward; keeping frame 1 makes the saved trajectory complete).
             self.current_frame.set_wc(self.current_frame.wc, slam_io)
@@ -70,6 +77,9 @@ class FrontEnd:
 
         new_pose = self.motion_model.predict(self.current_frame.wc, time)
         self.current_frame.set_wc(new_pose, slam_io)
+
+        if self.previous_pyramid is None:
+            return False  # first frame after checkpoint resume
 
         with TIMERS.stage("fe.klt"):
             self.klt_tracking()
@@ -117,12 +127,18 @@ class FrontEnd:
         with TIMERS.stage("fe.preprocess"):
             self.preprocess(image_dev)
         frame = self.current_frame
-        if frame.id == 1:
+        if frame.id == 1 or self.needs_bootstrap:
+            self.needs_bootstrap = False
             frame.set_wc(frame.wc, slam_io)
             return True
 
         new_pose = self.motion_model.predict(frame.wc, time)
         frame.set_wc(new_pose, slam_io)
+
+        if self.previous_pyramid is None:
+            # First frame after a checkpoint resume: no previous pyramid to
+            # track against; tracking restarts next frame.
+            return False
 
         if not self.params.vision_initialized:
             # Pre-init: unfused KLT + init logic (rare frames).
@@ -636,6 +652,7 @@ class FrontEnd:
         self.previous_pyramid = None
         self.current_pyramid = None
         self.motion_model.reset()
+        self.needs_bootstrap = True
 
     def _ransac_key(self, salt: int):
         return jax.random.PRNGKey(

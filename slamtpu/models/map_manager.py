@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import Camera
-from ..ops.lucas_kanade import fb_track
+from ..ops.lucas_kanade import fb_track, lk_pad
 from ..params import Params
 from ..utils.profiling import TIMERS
 from .extractor import Extractor
@@ -397,7 +397,7 @@ class MapManager:
             jnp.asarray(valid),
             levels=levels, window=p.window_size, iters=p.lk_iterations,
             eps=p.lk_epsilon, eig_thresh=p.lk_eigenvalue_threshold,
-            max_distance=p.max_ktl_distance, pad=p.window_size + 2,
+            max_distance=p.max_ktl_distance, pad=lk_pad(p.window_size),
         )
 
     def maybe_stereo_update(self, frame: Frame, kpid, new_position,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .. import hostmath as hm
 from ..ops.image import build_lk_pyramid
+from ..ops.lucas_kanade import lk_pad
 from ..ops.mvg import triangulate_batch
 from ..params import Params
 from ..utils.profiling import TIMERS
@@ -98,7 +99,7 @@ class Mapper:
                 kf.right_image_dev,
                 levels=self.params.pyramid_levels,
                 sigma=self.params.pyramid_sigma,
-                pad=self.params.window_size + 2,
+                pad=lk_pad(self.params.window_size),
             )
             with TIMERS.stage("mp.stereo_match"):
                 mm.optical_flow_matching(

@@ -101,37 +101,71 @@ def frontend_step(
 ):
     N = px.shape[0]
 
-    # ---- 1. KLT: prior family (1 level), plain family (full pyramid),
-    #            failed-prior retry (full pyramid). --------------------------
-    def fb(points, disp, mask, lv):
-        flow_f, st = lk_flow(
-            pyr_prev, pyr_cur, points, disp, mask,
-            levels=lv, window=window, iters=iters, eps=eps,
-            eig_thresh=eig_thresh, pad=pad,
-        )
-        newp = points + flow_f
+    # ---- 1. KLT. Both tracking families advance in ONE merged level
+    # cascade: the plain family enters at the coarsest level, the
+    # prior family is injected at level 1 with its projection prior
+    # (map_manager.jl:458,466) — mask-equivalent to the reference's two
+    # separate batches but half the sequential level blocks (each block
+    # costs milliseconds of gather latency on the tunnel-attached device).
+    # The failed-prior retry re-runs the full cascade and is skipped
+    # entirely (lax.cond inside lk_flow) when no point failed.
+    from .lucas_kanade import _lk_level, _lk_level_patch, lk_pad
+    from .image import pyramid_level_shape
+
+    _level_fn = _lk_level_patch if pad >= lk_pad(window) else _lk_level
+
+    def cascade(active0, inject_mask, inject_disp):
+        flow = jnp.zeros_like(px)
+        ok = active0
+        for level in range(levels, -1, -1):
+            if inject_mask is not None and level == 1:
+                flow = jnp.where(
+                    (inject_mask & ~active0)[:, None], inject_disp, flow
+                )
+                ok = ok | inject_mask
+            d1, d2 = pyr_prev[level], pyr_cur[level]
+            hw = pyramid_level_shape(d1, pad)
+            p_lvl = jnp.floor(px / (2.0 ** level)).astype(jnp.int32)
+
+            def run(args, d1=d1, d2=d2, hw=hw, p_lvl=p_lvl):
+                return _level_fn(
+                    d1, d2, p_lvl, args[0], args[1],
+                    hw=hw, window=window, iters=iters, eps=eps,
+                    eig_thresh=eig_thresh, pad=pad,
+                )
+
+            flow, ok = jax.lax.cond(
+                jnp.any(ok), run, lambda args: args, (flow, ok)
+            )
+            if level > 0:
+                flow = flow * 2.0
+        return flow, ok
+
+    def backward(points, flow_f, st):
         flow_b, bst = lk_flow(
-            pyr_cur, pyr_prev, newp, -flow_f, st,
+            pyr_cur, pyr_prev, points + flow_f, -flow_f, st,
             levels=0, window=window, iters=iters, eps=eps,
             eig_thresh=eig_thresh, pad=pad,
         )
-        dist_fb = jnp.linalg.norm(points - (newp + flow_b), axis=-1)
-        return newp, st & bst & (dist_fb < max_fb_distance)
+        dist_fb = jnp.linalg.norm(flow_f + flow_b, axis=-1)
+        return st & bst & (dist_fb < max_fb_distance)
 
     prior_mask = valid & is3d_prior
     plain_mask = valid & ~is3d_prior
 
-    new_a, ok_a = fb(px, disp_prior, prior_mask, 1)
-    new_b, ok_b = fb(px, jnp.zeros_like(px), plain_mask, levels)
-    retry_mask = prior_mask & ~ok_a
-    new_c, ok_c = fb(px, jnp.zeros_like(px), retry_mask, levels)
+    flow_m, ok_m = cascade(plain_mask, prior_mask, disp_prior)
+    ok_m = backward(px, flow_m, ok_m)
 
+    retry_mask = prior_mask & ~ok_m
+    flow_r, ok_r = cascade(retry_mask, None, None)
+    ok_r = backward(px, flow_r, ok_r & retry_mask)
+
+    use_retry = retry_mask & ok_r
     new_px = jnp.where(
-        (prior_mask & ok_a)[:, None], new_a,
-        jnp.where(retry_mask[:, None], new_c, new_b),
+        use_retry[:, None], px + flow_r, px + flow_m
     )
-    ok = jnp.where(prior_mask, ok_a | ok_c, ok_b) & valid
-    tracked_with_prior = prior_mask & ok_a
+    ok = (ok_m | use_retry) & valid
+    tracked_with_prior = prior_mask & ok_m
 
     # ---- 2. Batched undistort/backproject. ---------------------------------
     und_px, bearings = _undistort_backproject(new_px, intrinsics, dist)

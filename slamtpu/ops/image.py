@@ -111,13 +111,21 @@ def build_lk_pyramid(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
         gyy = separable_filter(iy * iy, gk, gk)
         gxx = separable_filter(ix * ix, gk, gk)
         gyx = separable_filter(iy * ix, gk, gk)
+        stack = jnp.stack([
+            jnp.pad(current, pad), jnp.pad(iy, pad), jnp.pad(ix, pad),
+            jnp.pad(gyy, pad), jnp.pad(gxx, pad), jnp.pad(gyx, pad),
+        ])
         padded = {
-            "img": jnp.pad(current, pad),
-            "Iy": jnp.pad(iy, pad),
-            "Ix": jnp.pad(ix, pad),
-            "Gyy": jnp.pad(gyy, pad),
-            "Gxx": jnp.pad(gxx, pad),
-            "Gyx": jnp.pad(gyx, pad),
+            # One (6, Hp, Wp) stack: the LK prelude gathers every map for a
+            # point in a single dynamic slice (gather latency dominates on
+            # the tunnel-attached device).
+            "stack": stack,
+            "img": stack[0],
+            "Iy": stack[1],
+            "Ix": stack[2],
+            "Gyy": stack[3],
+            "Gxx": stack[4],
+            "Gyx": stack[5],
         }
         out.append(padded)
     return tuple(out)

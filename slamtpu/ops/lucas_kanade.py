@@ -86,12 +86,21 @@ def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
     ox = jnp.arange(-w, w + 1, dtype=jnp.float32)[None, :]
 
     start = p_lvl - w + pad
-    img1_w = _gather_window(d1["img"], start, T)
-    iy_w = _gather_window(d1["Iy"], start, T)
-    ix_w = _gather_window(d1["Ix"], start, T)
-    gyy_w = _gather_window(d1["Gyy"], start, T)
-    gxx_w = _gather_window(d1["Gxx"], start, T)
-    gyx_w = _gather_window(d1["Gyx"], start, T)
+    if "stack" in d1:
+        def one(s):
+            return jax.lax.dynamic_slice(
+                d1["stack"], (0, s[0], s[1]), (6, T, T)
+            )
+        stack_w = jax.vmap(one)(start)  # one gather for all six maps
+        img1_w, iy_w, ix_w = stack_w[:, 0], stack_w[:, 1], stack_w[:, 2]
+        gyy_w, gxx_w, gyx_w = stack_w[:, 3], stack_w[:, 4], stack_w[:, 5]
+    else:
+        img1_w = _gather_window(d1["img"], start, T)
+        iy_w = _gather_window(d1["Iy"], start, T)
+        ix_w = _gather_window(d1["Ix"], start, T)
+        gyy_w = _gather_window(d1["Gyy"], start, T)
+        gxx_w = _gather_window(d1["Gxx"], start, T)
+        gyx_w = _gather_window(d1["Gyx"], start, T)
 
     p_f = p_lvl.astype(jnp.float32)
     hw_max = jnp.array([H - 1, W - 1], dtype=jnp.float32)
@@ -175,6 +184,164 @@ def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
     return flow, ok
 
 
+# Patch margin for the cached-window LK iteration: the second image is
+# gathered once per level as a (T+1+2*MARGIN)^2 patch per point; solver
+# iterations sample inside it with static shifted slices (no per-iteration
+# HBM gathers — gather latency dominates on the tunnel-attached device).
+# Points drifting past the margin trigger a single collective re-gather.
+LK_PATCH_MARGIN = 6
+
+
+def lk_pad(window: int) -> int:
+    """Image padding required by the LK kernels for a given half-window."""
+    return window + LK_PATCH_MARGIN + 2
+
+
+def _lk_level_patch(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
+                    eig_thresh, pad):
+    """Patch-cached variant of _lk_level (same contract and semantics).
+
+    The per-iteration bilinear sample of the second image reads from a
+    per-point (P, P) patch held in registers/VMEM, selected with 2*MARGIN+1
+    static shifted slices instead of a dynamic gather; the patch is
+    re-gathered (for all points at their current correspondence) only when
+    any active point leaves its margin.
+    """
+    H, W = hw
+    w = window
+    T = 2 * w + 1
+    R = LK_PATCH_MARGIN
+    P = T + 1 + 2 * R
+    n = p_lvl.shape[0]
+
+    oy = jnp.arange(-w, w + 1, dtype=jnp.float32)[:, None]
+    ox = jnp.arange(-w, w + 1, dtype=jnp.float32)[None, :]
+
+    start = p_lvl - w + pad
+    def one(s):
+        return jax.lax.dynamic_slice(d1["stack"], (0, s[0], s[1]), (6, T, T))
+    stack_w = jax.vmap(one)(start)
+    img1_w, iy_w, ix_w = stack_w[:, 0], stack_w[:, 1], stack_w[:, 2]
+    gyy_w, gxx_w, gyx_w = stack_w[:, 3], stack_w[:, 4], stack_w[:, 5]
+
+    p_f = p_lvl.astype(jnp.float32)
+    hw_max = jnp.array([H - 1, W - 1], dtype=jnp.float32)
+
+    def window_mask(q):
+        up = jnp.floor(jnp.minimum(float(w), jnp.minimum(p_f[:, 0], q[:, 0])))
+        down = jnp.floor(
+            jnp.minimum(float(w), hw_max[0] - jnp.maximum(p_f[:, 0], q[:, 0]))
+        )
+        left = jnp.floor(jnp.minimum(float(w), jnp.minimum(p_f[:, 1], q[:, 1])))
+        right = jnp.floor(
+            jnp.minimum(float(w), hw_max[1] - jnp.maximum(p_f[:, 1], q[:, 1]))
+        )
+        my = (oy[None] >= -up[:, None, None]) & (oy[None] <= down[:, None, None])
+        mx = (ox[None] >= -left[:, None, None]) & (ox[None] <= right[:, None, None])
+        return (my & mx).astype(jnp.float32)
+
+    def structure_tensor(mask):
+        syy = jnp.sum(gyy_w * mask, axis=(1, 2))
+        sxx = jnp.sum(gxx_w * mask, axis=(1, 2))
+        syx = jnp.sum(gyx_w * mask, axis=(1, 2))
+        ia, ib, ic, _, s2 = pinv2x2_sym(syy, syx, sxx)
+        count = jnp.sum(mask, axis=(1, 2))
+        return ia, ib, ic, s2 / jnp.maximum(count, 1.0)
+
+    def in_bounds(q):
+        return (
+            (q[:, 0] >= 0.0) & (q[:, 0] <= hw_max[0])
+            & (q[:, 1] >= 0.0) & (q[:, 1] <= hw_max[1])
+        )
+
+    def gather_patches(q):
+        """(N, P, P) patches of the second image centered at floor(q)."""
+        base = jnp.floor(q).astype(jnp.int32) - w - R + pad
+        def onep(s):
+            return jax.lax.dynamic_slice(d2["img"], (s[0], s[1]), (P, P))
+        return jax.vmap(onep)(base), base
+
+    def select_window(patch, rel):
+        """(N, P, P), (N, 2) int in [0, 2R] -> (N, T+1, T+1) windows using
+        static shifted slices."""
+        rows = jnp.zeros((n, T + 1, P), jnp.float32)
+        for a in range(2 * R + 1):
+            sel = (rel[:, 0] == a).astype(jnp.float32)[:, None, None]
+            rows = rows + sel * patch[:, a:a + T + 1, :]
+        out = jnp.zeros((n, T + 1, T + 1), jnp.float32)
+        for b in range(2 * R + 1):
+            sel = (rel[:, 1] == b).astype(jnp.float32)[:, None, None]
+            out = out + sel * rows[:, :, b:b + T + 1]
+        return out
+
+    q0 = p_f + flow
+    patch0, base0 = gather_patches(jnp.where(in_bounds(q0)[:, None], q0, p_f))
+
+    def body(carry):
+        it, flow, running, ok, patch, base = carry
+        q = p_f + flow
+        inb = in_bounds(q)
+        fail = running & ~inb
+
+        q_safe = jnp.where(inb[:, None], q, p_f)
+        mask = window_mask(q_safe)
+        ia, ib, ic, min_eig = structure_tensor(mask)
+        fail = fail | (running & (min_eig < eig_thresh))
+
+        q_floor = jnp.floor(q_safe)
+        frac = q_safe - q_floor
+        rel = q_floor.astype(jnp.int32) - w + pad - base  # in [0, 2R] ideally
+        escaped = running & (
+            (rel[:, 0] < 0) | (rel[:, 0] > 2 * R)
+            | (rel[:, 1] < 0) | (rel[:, 1] > 2 * R)
+        )
+
+        def regather(_):
+            return gather_patches(q_safe)
+
+        patch, base = jax.lax.cond(
+            jnp.any(escaped), regather, lambda _: (patch, base), None
+        )
+        rel = jnp.clip(
+            q_floor.astype(jnp.int32) - w + pad - base, 0, 2 * R
+        )
+
+        big = select_window(patch, rel)  # (N, T+1, T+1)
+        fy = frac[:, 0][:, None, None]
+        fx = frac[:, 1][:, None, None]
+        img2_s = (
+            (1.0 - fy) * (1.0 - fx) * big[:, :T, :T]
+            + (1.0 - fy) * fx * big[:, :T, 1:]
+            + fy * (1.0 - fx) * big[:, 1:, :T]
+            + fy * fx * big[:, 1:, 1:]
+        )
+
+        diff = (img1_w - img2_s) * mask
+        by = jnp.sum(diff * iy_w, axis=(1, 2))
+        bx = jnp.sum(diff * ix_w, axis=(1, 2))
+        step_y = ia * by + ib * bx
+        step_x = ib * by + ic * bx
+
+        converged = (jnp.abs(step_y) < eps) & (jnp.abs(step_x) < eps)
+        new_flow = flow + jnp.stack([step_y, step_x], axis=-1)
+        fail = fail | (running & ~converged & ~in_bounds(p_f + new_flow))
+
+        advance = running & ~fail & ~converged
+        flow = jnp.where(advance[:, None], new_flow, flow)
+        ok = ok & ~fail
+        running = running & ok & ~converged
+        return it + 1, flow, running, ok, patch, base
+
+    def cond(carry):
+        it, _, running, _, _, _ = carry
+        return (it < iters) & jnp.any(running)
+
+    _, flow, _, ok, _, _ = jax.lax.while_loop(
+        cond, body, (0, flow, ok, ok, patch0, base0)
+    )
+    return flow, ok
+
+
 def _use_pallas_default() -> bool:
     # Opt-in while the Mosaic lowering of the per-point VMEM window loads
     # is being worked out (dynamic lane offsets unsupported).
@@ -214,10 +381,25 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
                 eig_thresh=eig_thresh, pad=pad,
             )
         else:
-            flow, ok = _lk_level(
-                d1, d2, p_lvl, flow, ok,
-                hw=hw, window=window, iters=iters, eps=eps,
-                eig_thresh=eig_thresh, pad=pad,
+            # Patch-cached variant needs enough image padding for the
+            # (T+1+2*MARGIN) patches; otherwise use the exact formulation.
+            level_fn = (
+                _lk_level_patch
+                if pad >= lk_pad(window) and "stack" in d1 else _lk_level
+            )
+
+            # Skip the whole level when no point is alive (e.g. the
+            # failed-prior retry pass is usually empty).
+            def run(args, level_fn=level_fn):
+                f, o = args
+                return level_fn(
+                    d1, d2, p_lvl, f, o,
+                    hw=hw, window=window, iters=iters, eps=eps,
+                    eig_thresh=eig_thresh, pad=pad,
+                )
+
+            flow, ok = jax.lax.cond(
+                jnp.any(ok), run, lambda args: args, (flow, ok)
             )
         if level > 0:
             flow = flow * 2.0

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.image import build_lk_pyramid
-from ..ops.lucas_kanade import fb_track
+from ..ops.lucas_kanade import fb_track, lk_pad
 from ..ops.se3 import rot_zyx
 
 
@@ -69,11 +69,11 @@ def _pose_gauss_newton(theta, points3d, pixels_yx, weights, intrinsics):
 
 def _one_sequence(img_prev, img_cur, points, points3d, theta, valid,
                   intrinsics, *, levels, window):
-    pyr_prev = build_lk_pyramid(img_prev, levels=levels, pad=window + 2)
-    pyr_cur = build_lk_pyramid(img_cur, levels=levels, pad=window + 2)
+    pyr_prev = build_lk_pyramid(img_prev, levels=levels, pad=lk_pad(window))
+    pyr_cur = build_lk_pyramid(img_cur, levels=levels, pad=lk_pad(window))
     new_points, ok = fb_track(
         pyr_prev, pyr_cur, points, jnp.zeros_like(points), valid,
-        levels=levels, window=window, max_distance=1.0, pad=window + 2,
+        levels=levels, window=window, max_distance=1.0, pad=lk_pad(window),
     )
     weights = ok.astype(jnp.float32)
     new_theta, cost = _pose_gauss_newton(

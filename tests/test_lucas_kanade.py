@@ -6,7 +6,9 @@ import jax.numpy as jnp
 from slamtpu.ops.image import build_lk_pyramid, pyramid_shapes
 from slamtpu.ops.lucas_kanade import fb_track, lk_flow, pinv2x2_sym
 
-PAD = 11
+from slamtpu.ops.lucas_kanade import lk_pad
+
+PAD = lk_pad(9)
 
 
 def make_texture(h, w, seed=0, n_blobs=300, rng_shift=(0.0, 0.0)):

@@ -1,0 +1,147 @@
+"""Pipeline feature tests: local-map matching (BRIEF re-tracking), map
+filtering, reset/recovery, checkpoint/resume, threaded mode."""
+import time
+
+import numpy as np
+import pytest
+
+from slamtpu import Params
+from slamtpu.datasets.synthetic import make_scene
+from slamtpu.io.checkpoint import load_state, save_state
+from slamtpu.io.saver import ReplaySaver
+from slamtpu.models.slam_manager import SlamManager
+
+
+def run_scene(params, scene, n=None, saver=None):
+    sm = SlamManager(
+        params, scene.camera,
+        right_camera=scene.right_camera if params.stereo else None,
+        slam_io=saver,
+    )
+    for i in range(n or len(scene)):
+        left, right = scene.frame(i)
+        if params.stereo:
+            sm.add_stereo_image(left, right, float(scene.timestamps[i]))
+        else:
+            sm.add_image(left, float(scene.timestamps[i]))
+    return sm
+
+
+@pytest.mark.slow
+def test_local_matching_and_descriptors():
+    scene = make_scene(n_frames=10, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    params = Params(
+        stereo=True, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0,
+        do_local_matching=True, sequential=True,
+    )
+    sm = run_scene(params, scene)
+    # Descriptors were computed for keyframe keypoints.
+    with_desc = sum(
+        1 for mp in sm.map_manager.map_points.values()
+        if mp.descriptor is not None
+    )
+    assert with_desc > 50
+    assert not params.reset_required
+    assert sm.map_manager.nb_keyframes >= 2
+
+
+@pytest.mark.slow
+def test_map_filtering_removes_redundant_keyframes():
+    scene = make_scene(n_frames=10, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=11)
+    params = Params(
+        stereo=True, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0,
+        map_filtering=True, sequential=True,
+    )
+    sm = run_scene(params, scene)
+    est = sm.mapper.estimator
+    # Filtering only engages past kfid 20; call directly on a synthetic case.
+    kf = sm.map_manager.get_keyframe(sm.map_manager.current_keyframe_id - 1)
+    kf.kfid = 25  # force past the engage threshold
+    est.new_kf_available = False
+    est.map_filtering(kf)  # must not crash; removal depends on observer counts
+    assert sm.map_manager.nb_keyframes >= 1
+
+
+@pytest.mark.slow
+def test_reset_on_tracking_collapse():
+    scene = make_scene(n_frames=4, height=160, width=224, n_points=900,
+                       seed=13)
+    params = Params(
+        stereo=False, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, sequential=True,
+    )
+    sm = SlamManager(params, scene.camera)
+    left, _ = scene.frame(0)
+    sm.add_image(left, 0.0)
+    # Feed a featureless frame: tracking collapses below 50 keypoints ->
+    # reset cascade (front_end.jl:88-91, SLAM.jl:209-212).
+    blank = np.zeros_like(left)
+    sm.add_image(blank, 0.1)
+    assert not params.reset_required          # reset applied and cleared
+    assert not params.vision_initialized
+    assert sm.map_manager.nb_keyframes == 0   # map cleared
+    # Pipeline recovers when texture returns.
+    sm.add_image(left, 0.2)
+    assert sm.current_frame.nb_keypoints > 50
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    scene = make_scene(n_frames=8, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    params = Params(
+        stereo=True, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0, sequential=True,
+    )
+    sm = run_scene(params, scene, n=6)
+    path = str(tmp_path / "state.pkl")
+    save_state(sm, path)
+    n_kfs = sm.map_manager.nb_keyframes
+    n_mps = len(sm.map_manager.map_points)
+    pose = sm.current_frame.wc.copy()
+
+    params2 = Params(
+        stereo=True, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0, sequential=True,
+    )
+    sm2 = SlamManager(params2, scene.camera, right_camera=scene.right_camera)
+    load_state(sm2, path)
+    assert sm2.map_manager.nb_keyframes == n_kfs
+    assert len(sm2.map_manager.map_points) == n_mps
+    assert np.allclose(sm2.current_frame.wc, pose)
+    assert sm2.params.vision_initialized == params.vision_initialized
+
+    # Resume: feed the remaining frames without crashing.
+    for i in range(6, 8):
+        left, right = scene.frame(i)
+        sm2.add_stereo_image(left, right, float(scene.timestamps[i]))
+    assert sm2.frame_id >= sm.frame_id
+
+
+@pytest.mark.slow
+def test_threaded_mode_runs():
+    scene = make_scene(n_frames=8, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    params = Params(
+        stereo=True, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0, sequential=False,
+    )
+    saver = ReplaySaver()
+    sm = SlamManager(params, scene.camera, right_camera=scene.right_camera,
+                     slam_io=saver)
+    for i in range(len(scene)):
+        left, right = scene.frame(i)
+        sm.add_stereo_image(left, right, float(scene.timestamps[i]))
+        # Lock-step like the reference example (example/kitty/main.jl:46-54).
+        deadline = time.time() + 60
+        while (sm.get_queue_size() > 0 or sm.mapper.keyframe_queue
+               or sm.mapper.estimator.frame_queue):
+            time.sleep(0.01)
+            assert time.time() < deadline, "threaded pipeline stalled"
+    sm.wait()
+    assert sm.map_manager.nb_keyframes >= 2
+    assert len(saver.trajectory_xyz()) == len(scene)
