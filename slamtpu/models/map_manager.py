@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import Camera
-from ..ops.lucas_kanade import fb_track, lk_pad
+from ..ops.lucas_kanade import fb_track_merged, lk_pad
 from ..params import Params
 from ..utils.profiling import TIMERS
 from .extractor import Extractor
@@ -308,63 +308,58 @@ class MapManager:
                 # reference keeps the keypoint untracked this frame
                 # (map_manager.jl:500-507) — same here.
 
-        # Dispatch both tracking families asynchronously, then fetch the
-        # results in ONE batched device_get (the device runs behind a
-        # high-latency tunnel; every separate fetch costs ~30 ms).
-        fut3d = None
-        if ids3d:
-            fut3d = self._fb_dispatch(
-                from_pyramid, to_pyramid, px3d, disp3d, cap,
-                levels=PYRAMID_LEVELS_3D,
-            )
-        fut2d = None
-        if ids2d:
-            fut2d = self._fb_dispatch(
-                from_pyramid, to_pyramid, px2d,
-                [np.zeros(2)] * len(px2d), cap, levels=p.pyramid_levels,
-            )
-        fetched = jax.device_get(
-            tuple(f for f in (fut3d, fut2d) if f is not None)
-        )
-        it = iter(fetched)
-        res3d = next(it) if fut3d is not None else None
-        res2d = next(it) if fut2d is not None else None
+        # ONE merged-cascade device dispatch for both families + retry
+        # (fb_track_merged), one batched fetch.
+        ids = ids3d + ids2d
+        if not ids:
+            return
+        n = len(ids)
+        if n > cap:
+            log.warning("[MM] Tracking batch %d exceeds capacity %d.", n, cap)
+        pts = np.zeros((cap, 2), np.float32)
+        disp = np.zeros((cap, 2), np.float32)
+        prior = np.zeros((cap,), bool)
+        valid = np.zeros((cap,), bool)
+        n3 = len(ids3d)
+        if n3:
+            pts[:n3] = np.asarray(px3d, np.float32).reshape(n3, 2)
+            disp[:n3] = np.asarray(disp3d, np.float32).reshape(n3, 2)
+            prior[:n3] = True
+        n2 = min(len(ids2d), cap - n3)
+        if n2:
+            pts[n3:n3 + n2] = np.asarray(px2d[:n2], np.float32).reshape(n2, 2)
+        valid[:min(n, cap)] = True
 
-        retry_ids, retry_px = [], []
-        if res3d is not None:
-            new_pts, status = res3d
-            nb_good = 0
-            for j, kpid in enumerate(ids3d):
-                if status[j]:
-                    if stereo:
-                        if self.maybe_stereo_update(frame, kpid, new_pts[j]):
-                            nb_good += 1
-                    else:
-                        frame.update_keypoint(kpid, new_pts[j])
+        new_pts_d, ok_d, prior_ok_d = fb_track_merged(
+            from_pyramid, to_pyramid, jnp.asarray(pts), jnp.asarray(prior),
+            jnp.asarray(disp), jnp.asarray(valid),
+            levels=p.pyramid_levels, prior_level=PYRAMID_LEVELS_3D,
+            window=p.window_size, iters=p.lk_iterations, eps=p.lk_epsilon,
+            eig_thresh=p.lk_eigenvalue_threshold,
+            pad=lk_pad(p.window_size), max_distance=p.max_ktl_distance,
+        )
+        new_pts, ok, prior_ok = jax.device_get(
+            (new_pts_d, ok_d, prior_ok_d)
+        )
+
+        nb_good = 0
+        for j, kpid in enumerate(ids3d):
+            if ok[j]:
+                if stereo:
+                    if self.maybe_stereo_update(frame, kpid, new_pts[j]):
                         nb_good += 1
                 else:
-                    # Failed with prior -> retry as plain 2D w/o prior
-                    # (map_manager.jl:534-537).
-                    retry_ids.append(kpid)
-                    retry_px.append(px3d[j])
+                    frame.update_keypoint(kpid, new_pts[j])
+                    nb_good += 1
+            else:
+                if not stereo:
+                    self.remove_obs_from_current_frame(kpid)
+        if ids3d:
             log.debug("[MM] 3D points tracked %d. Stereo %s.", nb_good, stereo)
-
-        if res2d is not None:
-            new_pts, status = res2d
-            self._apply_2d_results(frame, ids2d, new_pts, status, stereo)
-
-        if retry_ids:
-            retry_cap = min(cap, 256)
-            fut = self._fb_dispatch(
-                from_pyramid, to_pyramid, retry_px,
-                [np.zeros(2)] * len(retry_px), retry_cap,
-                levels=p.pyramid_levels,
-            )
-            new_pts, status = jax.device_get(fut)
-            self._apply_2d_results(
-                frame, retry_ids, new_pts[:len(retry_ids)],
-                status[:len(retry_ids)], stereo,
-            )
+        self._apply_2d_results(
+            frame, ids2d, new_pts[n3:n3 + len(ids2d)],
+            ok[n3:n3 + len(ids2d)], stereo,
+        )
 
     def _apply_2d_results(self, frame, ids, new_pts, status, stereo):
         for j, kpid in enumerate(ids):
@@ -376,29 +371,6 @@ class MapManager:
                     frame.update_keypoint(kpid, new_pts[j])
                 else:
                     self.remove_obs_from_current_frame(kpid)
-
-    def _fb_dispatch(self, from_pyr, to_pyr, pixels, displacements, cap, *,
-                     levels):
-        """Asynchronously dispatch one padded FB-tracking batch; returns
-        device arrays (new_points, ok) truncated lazily by the caller."""
-        p = self.params
-        n = len(pixels)
-        if n > cap:
-            log.warning("[MM] Tracking batch %d exceeds capacity %d.", n, cap)
-            n = cap
-        pts = np.zeros((cap, 2), np.float32)
-        disp = np.zeros((cap, 2), np.float32)
-        valid = np.zeros((cap,), bool)
-        pts[:n] = np.asarray(pixels[:n], np.float32).reshape(n, 2)
-        disp[:n] = np.asarray(displacements[:n], np.float32).reshape(n, 2)
-        valid[:n] = True
-        return fb_track(
-            from_pyr, to_pyr, jnp.asarray(pts), jnp.asarray(disp),
-            jnp.asarray(valid),
-            levels=levels, window=p.window_size, iters=p.lk_iterations,
-            eps=p.lk_epsilon, eig_thresh=p.lk_eigenvalue_threshold,
-            max_distance=p.max_ktl_distance, pad=lk_pad(p.window_size),
-        )
 
     def maybe_stereo_update(self, frame: Frame, kpid, new_position,
                             epipolar_error: float = 2.0) -> bool:

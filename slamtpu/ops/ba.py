@@ -81,7 +81,10 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
 
     free_p = pose_free_mask.astype(jnp.float32)          # (P,)
     free_flat = jnp.repeat(free_p, 6)                    # (6P,)
-    pose_onehot = jax.nn.one_hot(obs_pose, P, dtype=jnp.float32)  # (O, P)
+    # One-hot reduction matrices: every scatter/segment_sum becomes an MXU
+    # matmul (scatters are latency-bound on the tunnel-attached device).
+    pose_onehot = jax.nn.one_hot(obs_pose, P, dtype=jnp.float32)   # (O, P)
+    point_onehot = jax.nn.one_hot(obs_point, X, dtype=jnp.float32)  # (O, X)
 
     def body(_, carry):
         poses, points, lam, cost = carry
@@ -91,24 +94,19 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
         # Constant poses: zero their pose Jacobian (still constrain points).
         Jp = Jp * free_p[obs_pose][:, None, None]
 
-        U = jax.ops.segment_sum(
-            jnp.einsum("oia,oib->oab", Jp, Jp), obs_pose, num_segments=P
-        )  # (P, 6, 6)
-        V = jax.ops.segment_sum(
-            jnp.einsum("oia,oib->oab", Jx, Jx), obs_point, num_segments=X
-        )  # (X, 3, 3)
+        JpJp = jnp.einsum("oia,oib->oab", Jp, Jp).reshape(-1, 36)
+        U = (pose_onehot.T @ JpJp).reshape(P, 6, 6)
+        JxJx = jnp.einsum("oia,oib->oab", Jx, Jx).reshape(-1, 9)
+        V = (point_onehot.T @ JxJx).reshape(X, 3, 3)
         A = jnp.einsum("oia,oib->oab", Jp, Jx)  # (O, 6, 3)
         # Embed each A into its pose block row, then reduce per point.
         A_embed = jnp.einsum("op,oab->opab", pose_onehot, A)  # (O, P, 6, 3)
-        B = jax.ops.segment_sum(A_embed, obs_point, num_segments=X)
-        B = B.reshape(X, n6, 3)
+        B = (point_onehot.T @ A_embed.reshape(-1, P * 18)).reshape(X, n6, 3)
 
-        g_p = jax.ops.segment_sum(
-            jnp.einsum("oia,oi->oa", Jp, r), obs_pose, num_segments=P
+        g_p = (
+            pose_onehot.T @ jnp.einsum("oia,oi->oa", Jp, r)
         ).reshape(n6)
-        g_x = jax.ops.segment_sum(
-            jnp.einsum("oia,oi->oa", Jx, r), obs_point, num_segments=X
-        )  # (X, 3)
+        g_x = point_onehot.T @ jnp.einsum("oia,oi->oa", Jx, r)  # (X, 3)
 
         # Damping.
         eyeP = jnp.eye(6, dtype=jnp.float32)

@@ -109,61 +109,24 @@ def frontend_step(
     # costs milliseconds of gather latency on the tunnel-attached device).
     # The failed-prior retry re-runs the full cascade and is skipped
     # entirely (lax.cond inside lk_flow) when no point failed.
-    from .lucas_kanade import _lk_level, _lk_level_patch, lk_pad
-    from .image import pyramid_level_shape
-
-    _level_fn = _lk_level_patch if pad >= lk_pad(window) else _lk_level
-
-    def cascade(active0, inject_mask, inject_disp):
-        flow = jnp.zeros_like(px)
-        ok = active0
-        for level in range(levels, -1, -1):
-            if inject_mask is not None and level == 1:
-                flow = jnp.where(
-                    (inject_mask & ~active0)[:, None], inject_disp, flow
-                )
-                ok = ok | inject_mask
-            d1, d2 = pyr_prev[level], pyr_cur[level]
-            hw = pyramid_level_shape(d1, pad)
-            p_lvl = jnp.floor(px / (2.0 ** level)).astype(jnp.int32)
-
-            def run(args, d1=d1, d2=d2, hw=hw, p_lvl=p_lvl):
-                return _level_fn(
-                    d1, d2, p_lvl, args[0], args[1],
-                    hw=hw, window=window, iters=iters, eps=eps,
-                    eig_thresh=eig_thresh, pad=pad,
-                )
-
-            flow, ok = jax.lax.cond(
-                jnp.any(ok), run, lambda args: args, (flow, ok)
-            )
-            if level > 0:
-                flow = flow * 2.0
-        return flow, ok
-
-    def backward(points, flow_f, st):
-        flow_b, bst = lk_flow(
-            pyr_cur, pyr_prev, points + flow_f, -flow_f, st,
-            levels=0, window=window, iters=iters, eps=eps,
-            eig_thresh=eig_thresh, pad=pad,
-        )
-        dist_fb = jnp.linalg.norm(flow_f + flow_b, axis=-1)
-        return st & bst & (dist_fb < max_fb_distance)
+    from .lucas_kanade import merged_fb
 
     prior_mask = valid & is3d_prior
     plain_mask = valid & ~is3d_prior
-
+    cascade, backward = merged_fb(
+        pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior,
+        levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
+        eig_thresh=eig_thresh, pad=pad,
+    )
     flow_m, ok_m = cascade(plain_mask, prior_mask, disp_prior)
-    ok_m = backward(px, flow_m, ok_m)
+    ok_m = backward(flow_m, ok_m, max_fb_distance)
 
     retry_mask = prior_mask & ~ok_m
     flow_r, ok_r = cascade(retry_mask, None, None)
-    ok_r = backward(px, flow_r, ok_r & retry_mask)
+    ok_r = backward(flow_r, ok_r & retry_mask, max_fb_distance)
 
     use_retry = retry_mask & ok_r
-    new_px = jnp.where(
-        use_retry[:, None], px + flow_r, px + flow_m
-    )
+    new_px = jnp.where(use_retry[:, None], px + flow_r, px + flow_m)
     ok = (ok_m | use_retry) & valid
     tracked_with_prior = prior_mask & ok_m
 

@@ -382,10 +382,13 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
             )
         else:
             # Patch-cached variant needs enough image padding for the
-            # (T+1+2*MARGIN) patches; otherwise use the exact formulation.
+            # (T+1+2*MARGIN) patches; opt-in while its (large, unrolled)
+            # program strains the remote TPU compiler.
+            import os
             level_fn = (
                 _lk_level_patch
-                if pad >= lk_pad(window) and "stack" in d1 else _lk_level
+                if os.environ.get("SLAMTPU_PATCH_LK")
+                and pad >= lk_pad(window) and "stack" in d1 else _lk_level
             )
 
             # Skip the whole level when no point is alive (e.g. the
@@ -438,3 +441,93 @@ def fb_track(pyr_prev, pyr_cur, points, displacement, valid, *, levels,
     dist = jnp.linalg.norm(points - round_trip, axis=-1)
     ok = status & bstatus & (dist < max_distance)
     return new_points, ok
+
+
+def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
+              levels, prior_level, window, iters, eps, eig_thresh, pad):
+    """Forward-backward KLT with BOTH tracking families in one level cascade.
+
+    The plain family enters at the coarsest level; the prior family is
+    injected at `prior_level` with its displacement prior (reference
+    map_manager.jl:458,466) — mask-equivalent to two separate batches but
+    half the sequential level blocks. Failed-prior points are retried as
+    plain (map_manager.jl:534-537) in a cond-skipped second cascade.
+
+    Returns (new_px, ok).
+    """
+    import os as _os
+
+    level_fn = (
+        _lk_level_patch
+        if _os.environ.get("SLAMTPU_PATCH_LK") and pad >= lk_pad(window)
+        else _lk_level
+    )
+
+    def cascade(active0, inject_mask, inject_disp):
+        flow = jnp.zeros_like(px)
+        ok = active0
+        for level in range(levels, -1, -1):
+            if inject_mask is not None and level == prior_level:
+                flow = jnp.where(
+                    (inject_mask & ~active0)[:, None], inject_disp, flow
+                )
+                ok = ok | inject_mask
+            d1, d2 = pyr_prev[level], pyr_cur[level]
+            hw = pyramid_level_shape(d1, pad)
+            p_lvl = jnp.floor(px / (2.0 ** level)).astype(jnp.int32)
+
+            def run(args, d1=d1, d2=d2, hw=hw, p_lvl=p_lvl):
+                return level_fn(
+                    d1, d2, p_lvl, args[0], args[1],
+                    hw=hw, window=window, iters=iters, eps=eps,
+                    eig_thresh=eig_thresh, pad=pad,
+                )
+
+            flow, ok = jax.lax.cond(
+                jnp.any(ok), run, lambda args: args, (flow, ok)
+            )
+            if level > 0:
+                flow = flow * 2.0
+        return flow, ok
+
+    def backward(flow_f, st, max_fb_distance):
+        flow_b, bst = lk_flow(
+            pyr_cur, pyr_prev, px + flow_f, -flow_f, st,
+            levels=0, window=window, iters=iters, eps=eps,
+            eig_thresh=eig_thresh, pad=pad,
+        )
+        dist_fb = jnp.linalg.norm(flow_f + flow_b, axis=-1)
+        return st & bst & (dist_fb < max_fb_distance)
+
+    return cascade, backward
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "prior_level", "window", "iters", "eps", "eig_thresh",
+        "pad", "max_distance",
+    ),
+)
+def fb_track_merged(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
+                    levels, prior_level=1, window=9, iters=30, eps=1e-2,
+                    eig_thresh=1e-4, pad=17, max_distance=1.0):
+    """One-dispatch forward-backward KLT for both families + retry."""
+    plain_mask = valid & ~prior_mask
+    prior = valid & prior_mask
+    cascade, backward = merged_fb(
+        pyr_prev, pyr_cur, px, plain_mask, prior, disp_prior,
+        levels=levels, prior_level=prior_level, window=window, iters=iters,
+        eps=eps, eig_thresh=eig_thresh, pad=pad,
+    )
+    flow_m, ok_m = cascade(plain_mask, prior, disp_prior)
+    ok_m = backward(flow_m, ok_m, max_distance)
+
+    retry_mask = prior & ~ok_m
+    flow_r, ok_r = cascade(retry_mask, None, None)
+    ok_r = backward(flow_r, ok_r & retry_mask, max_distance)
+
+    use_retry = retry_mask & ok_r
+    new_px = jnp.where(use_retry[:, None], px + flow_r, px + flow_m)
+    ok = (ok_m | use_retry) & valid
+    return new_px, ok, ok_m & prior
