@@ -268,6 +268,7 @@ class FrontEnd:
                 essential_hypotheses=p.ransac_essential_hypotheses,
                     pnp_hypotheses=p.ransac_pnp_hypotheses,
                 threshold=p.max_reprojection_error,
+                min_active=p.lk_min_active,
             )
         with TIMERS.stage("fe.fused.fetch"):
             res = jax.device_get(res)  # the ONE round trip for this frame

@@ -337,6 +337,7 @@ class MapManager:
             window=p.window_size, iters=p.lk_iterations, eps=p.lk_epsilon,
             eig_thresh=p.lk_eigenvalue_threshold,
             pad=lk_pad(p.window_size), max_distance=p.max_ktl_distance,
+            min_active=p.lk_min_active,
         )
         new_pts, ok, prior_ok = jax.device_get(
             (new_pts_d, ok_d, prior_ok_d)

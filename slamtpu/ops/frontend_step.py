@@ -70,7 +70,7 @@ def _masked_median(values, mask):
     static_argnames=(
         "levels", "window", "iters", "eps", "eig_thresh", "pad",
         "max_fb_distance", "essential_hypotheses", "pnp_hypotheses",
-        "threshold", "min_parallax_5pt",
+        "threshold", "min_parallax_5pt", "min_active",
     ),
 )
 def frontend_step(
@@ -98,6 +98,7 @@ def frontend_step(
     eig_thresh: float = 1e-4, pad: int = 11, max_fb_distance: float = 1.0,
     essential_hypotheses: int = 256, pnp_hypotheses: int = 256,
     threshold: float = 3.0, min_parallax_5pt: float = 5.0,
+    min_active: int = 0,
 ):
     N = px.shape[0]
 
@@ -116,7 +117,7 @@ def frontend_step(
     cascade, backward = merged_fb(
         pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
-        eig_thresh=eig_thresh, pad=pad,
+        eig_thresh=eig_thresh, pad=pad, min_active=min_active,
     )
     flow_m, ok_m = cascade(plain_mask, prior_mask, disp_prior)
     ok_m = backward(flow_m, ok_m, max_fb_distance)

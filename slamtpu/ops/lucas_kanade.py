@@ -70,7 +70,7 @@ def _gather_window(img, start_yx, size):
 
 
 def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
-              eig_thresh, pad):
+              eig_thresh, pad, min_active: int = 0):
     """One pyramid level for all N points.
 
     p_lvl: (N, 2) int32 integer level coordinates (y, x).
@@ -176,9 +176,15 @@ def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
         running = running & ok & ~converged
         return it + 1, flow, running, ok
 
+    # min_active > 0: production early stop — end the level once only a
+    # handful of stragglers still iterate (their round-trip check filters
+    # unconverged survivors). Scaled by the live point count so small
+    # batches keep near-exact semantics; 0 = exact reference behavior.
+    stop_thresh = jnp.minimum(min_active, jnp.sum(ok) // 32)
+
     def cond(carry):
         it, _, running, _ = carry
-        return (it < iters) & jnp.any(running)
+        return (it < iters) & (jnp.sum(running) > stop_thresh)
 
     _, flow, _, ok = jax.lax.while_loop(cond, body, (0, flow, ok, ok))
     return flow, ok
@@ -353,7 +359,8 @@ def _use_pallas_default() -> bool:
 
 
 def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
-            iters, eps, eig_thresh, pad, use_pallas=None):
+            iters, eps, eig_thresh, pad, use_pallas=None,
+            min_active: int = 0):
     """Pyramidal LK for N points (reference optflow!, lucas_kanade.jl:9-100).
 
     points: (N, 2) f32 full-resolution (y, x).
@@ -395,11 +402,13 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
             # failed-prior retry pass is usually empty).
             def run(args, level_fn=level_fn):
                 f, o = args
-                return level_fn(
-                    d1, d2, p_lvl, f, o,
+                kw = dict(
                     hw=hw, window=window, iters=iters, eps=eps,
                     eig_thresh=eig_thresh, pad=pad,
                 )
+                if level_fn is _lk_level:
+                    kw["min_active"] = min_active
+                return level_fn(d1, d2, p_lvl, f, o, **kw)
 
             flow, ok = jax.lax.cond(
                 jnp.any(ok), run, lambda args: args, (flow, ok)
@@ -412,12 +421,13 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "levels", "window", "iters", "eps", "eig_thresh", "pad", "max_distance"
+        "levels", "window", "iters", "eps", "eig_thresh", "pad",
+        "max_distance", "min_active",
     ),
 )
 def fb_track(pyr_prev, pyr_cur, points, displacement, valid, *, levels,
              window, iters=30, eps=1e-2, eig_thresh=1e-4, pad=11,
-             max_distance=1.0):
+             max_distance=1.0, min_active=0):
     """Forward-backward KLT (reference src/tracker.jl:17-68).
 
     Forward over `levels` pyramid levels with the displacement prior, then
@@ -429,13 +439,13 @@ def fb_track(pyr_prev, pyr_cur, points, displacement, valid, *, levels,
     flow_f, status = lk_flow(
         pyr_prev, pyr_cur, points, displacement, valid,
         levels=levels, window=window, iters=iters, eps=eps,
-        eig_thresh=eig_thresh, pad=pad,
+        eig_thresh=eig_thresh, pad=pad, min_active=min_active,
     )
     new_points = points + flow_f
     flow_b, bstatus = lk_flow(
         pyr_cur, pyr_prev, new_points, -flow_f, status,
         levels=0, window=window, iters=iters, eps=eps,
-        eig_thresh=eig_thresh, pad=pad,
+        eig_thresh=eig_thresh, pad=pad, min_active=min_active,
     )
     round_trip = new_points + flow_b
     dist = jnp.linalg.norm(points - round_trip, axis=-1)
@@ -444,7 +454,8 @@ def fb_track(pyr_prev, pyr_cur, points, displacement, valid, *, levels,
 
 
 def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
-              levels, prior_level, window, iters, eps, eig_thresh, pad):
+              levels, prior_level, window, iters, eps, eig_thresh, pad,
+              min_active: int = 0):
     """Forward-backward KLT with BOTH tracking families in one level cascade.
 
     The plain family enters at the coarsest level; the prior family is
@@ -477,11 +488,13 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
             p_lvl = jnp.floor(px / (2.0 ** level)).astype(jnp.int32)
 
             def run(args, d1=d1, d2=d2, hw=hw, p_lvl=p_lvl):
-                return level_fn(
-                    d1, d2, p_lvl, args[0], args[1],
+                kw = dict(
                     hw=hw, window=window, iters=iters, eps=eps,
                     eig_thresh=eig_thresh, pad=pad,
                 )
+                if level_fn is _lk_level:
+                    kw["min_active"] = min_active
+                return level_fn(d1, d2, p_lvl, args[0], args[1], **kw)
 
             flow, ok = jax.lax.cond(
                 jnp.any(ok), run, lambda args: args, (flow, ok)
@@ -494,7 +507,7 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
         flow_b, bst = lk_flow(
             pyr_cur, pyr_prev, px + flow_f, -flow_f, st,
             levels=0, window=window, iters=iters, eps=eps,
-            eig_thresh=eig_thresh, pad=pad,
+            eig_thresh=eig_thresh, pad=pad, min_active=min_active,
         )
         dist_fb = jnp.linalg.norm(flow_f + flow_b, axis=-1)
         return st & bst & (dist_fb < max_fb_distance)
@@ -506,19 +519,19 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
     jax.jit,
     static_argnames=(
         "levels", "prior_level", "window", "iters", "eps", "eig_thresh",
-        "pad", "max_distance",
+        "pad", "max_distance", "min_active",
     ),
 )
 def fb_track_merged(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
                     levels, prior_level=1, window=9, iters=30, eps=1e-2,
-                    eig_thresh=1e-4, pad=17, max_distance=1.0):
+                    eig_thresh=1e-4, pad=17, max_distance=1.0, min_active=0):
     """One-dispatch forward-backward KLT for both families + retry."""
     plain_mask = valid & ~prior_mask
     prior = valid & prior_mask
     cascade, backward = merged_fb(
         pyr_prev, pyr_cur, px, plain_mask, prior, disp_prior,
         levels=levels, prior_level=prior_level, window=window, iters=iters,
-        eps=eps, eig_thresh=eig_thresh, pad=pad,
+        eps=eps, eig_thresh=eig_thresh, pad=pad, min_active=min_active,
     )
     flow_m, ok_m = cascade(plain_mask, prior, disp_prior)
     ok_m = backward(flow_m, ok_m, max_distance)

@@ -37,6 +37,11 @@ class Params:
     lk_iterations: int = 30
     lk_eigenvalue_threshold: float = 1e-4
     lk_epsilon: float = 1e-2
+    # Production early stop: end an LK level when at most this many points
+    # are still iterating (the forward-backward check filters unconverged
+    # stragglers). 0 = exact reference semantics (every point runs its full
+    # iteration budget).
+    lk_min_active: int = 16
     # RANSAC hypothesis counts (hypothesis-parallel; reference RecoverPose
     # uses sequential sampling — accuracy parity, not bitwise).
     ransac_essential_hypotheses: int = 256
