@@ -195,7 +195,7 @@ def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
 # iterations sample inside it with static shifted slices (no per-iteration
 # HBM gathers — gather latency dominates on the tunnel-attached device).
 # Points drifting past the margin trigger a single collective re-gather.
-LK_PATCH_MARGIN = 6
+LK_PATCH_MARGIN = 3
 
 
 def lk_pad(window: int) -> int:
@@ -388,13 +388,13 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
                 eig_thresh=eig_thresh, pad=pad,
             )
         else:
-            # Patch-cached variant needs enough image padding for the
-            # (T+1+2*MARGIN) patches; opt-in while its (large, unrolled)
-            # program strains the remote TPU compiler.
+            # Patch-cached variant (default): identical results, ~2.4x
+            # faster on TPU (no per-iteration dependent gathers). Requires
+            # enough image padding for the (T+1+2*MARGIN) patches.
             import os
             level_fn = (
                 _lk_level_patch
-                if os.environ.get("SLAMTPU_PATCH_LK")
+                if not os.environ.get("SLAMTPU_NO_PATCH_LK")
                 and pad >= lk_pad(window) and "stack" in d1 else _lk_level
             )
 
@@ -470,7 +470,8 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
 
     level_fn = (
         _lk_level_patch
-        if _os.environ.get("SLAMTPU_PATCH_LK") and pad >= lk_pad(window)
+        if not _os.environ.get("SLAMTPU_NO_PATCH_LK")
+        and pad >= lk_pad(window)
         else _lk_level
     )
 
