@@ -61,20 +61,39 @@ def main():
 
     name, camera, right_camera, frames, times, gt = load_frames()
 
+    threaded = os.environ.get("BENCH_MODE", "sequential") == "threaded"
     params = Params(stereo=True, do_local_bundle_adjustment=True,
-                    map_filtering=True, sequential=True)
+                    map_filtering=True, sequential=not threaded)
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)
 
-    stamps = []
-    for i, (left, right) in enumerate(frames):
+    if threaded:
+        # Reference-style 3-stage pipeline: mapper + estimator overlap with
+        # tracking. Warm up (compiles) lock-step, then measure wall time of
+        # the steady frames with bounded in-flight backpressure.
+        for i in range(min(WARMUP, len(frames))):
+            left, right = frames[i]
+            sm.add_stereo_image(left, right, float(times[i]))
+            while sm.get_queue_size() > 0:
+                time.sleep(0.005)
         t0 = time.perf_counter()
-        sm.add_stereo_image(left, right, float(times[i]))
-        stamps.append(time.perf_counter() - t0)
-
-    steady = stamps[WARMUP:] if len(stamps) > WARMUP else stamps
-    fps = 1.0 / float(np.mean(steady))
+        for i in range(WARMUP, len(frames)):
+            left, right = frames[i]
+            while sm.get_queue_size() >= 2:  # bounded backpressure
+                time.sleep(0.002)
+            sm.add_stereo_image(left, right, float(times[i]))
+        sm.wait()
+        steady_n = max(len(frames) - WARMUP, 1)
+        fps = steady_n / (time.perf_counter() - t0)
+    else:
+        stamps = []
+        for i, (left, right) in enumerate(frames):
+            t0 = time.perf_counter()
+            sm.add_stereo_image(left, right, float(times[i]))
+            stamps.append(time.perf_counter() - t0)
+        steady = stamps[WARMUP:] if len(stamps) > WARMUP else stamps
+        fps = 1.0 / float(np.mean(steady))
 
     extras = {}
     if gt is not None and len(saver.trajectory_xyz()) == len(gt):
