@@ -34,6 +34,12 @@ class Estimator:
         self.frame_queue = []
         self.new_kf_available = False
         self.exit_required = False
+        # Deferred BA: the device solve dispatched at keyframe N is fetched
+        # and applied at keyframe N+1 (sequential mode), overlapping the BA
+        # device time with subsequent tracking — the same one-keyframe lag
+        # the reference's estimator worker thread has (estimator.jl:79-110).
+        self.defer_ba = params.sequential
+        self._pending = None
 
     # -- queue (estimator.jl:117-141) ------------------------------------------
 
@@ -51,12 +57,30 @@ class Estimator:
     # -- processing (estimator.jl:79-110) ---------------------------------------
 
     def process(self, new_kf: Frame):
+        self.flush()
         if self.params.do_local_bundle_adjustment and new_kf.kfid >= 2:
             with self.map_manager.optimization_lock, TIMERS.stage("es.ba"):
                 self.local_bundle_adjustment(new_kf)
+        if not self.defer_ba:
+            self.flush()
         if self.params.map_filtering:
             with TIMERS.stage("es.filter"):
                 self.map_filtering(new_kf)
+
+    def flush(self):
+        """Fetch + apply a pending deferred BA result, if any."""
+        if self._pending is None:
+            return
+        cache, res_dev, kfid, n_poses, n_points, n_obs = self._pending
+        self._pending = None
+        try:
+            res = jax.device_get(res_dev)
+            with self.map_manager.optimization_lock, \
+                    self.map_manager.map_lock, TIMERS.stage("es.ba_apply"):
+                self._update_ba_parameters(cache, res, kfid,
+                                           n_poses, n_points, n_obs)
+        finally:
+            self.params.local_ba_on = False
 
     # -- BA problem assembly (estimator.jl:143-266) ------------------------------
 
@@ -185,6 +209,7 @@ class Estimator:
             n_points = len(cache["point_vecs"])
             n_obs = len(cache["obs_pose"])
             if n_poses == 0 or n_points == 0 or n_obs == 0:
+                p.local_ba_on = False
                 return
 
             P = next_bucket(n_poses, minimum=8, maximum=None)
@@ -216,12 +241,15 @@ class Estimator:
                 iters2=p.ba_phase2_iterations,
                 repr_eps=5.0,
             )
-            res = jax.device_get(res)
-            with mm.map_lock:
-                self._update_ba_parameters(cache, res, new_frame.kfid,
-                                           n_poses, n_points, n_obs)
-        finally:
+            # Defer the fetch: the device solves while tracking continues;
+            # flush() applies the result at the next keyframe (or reset).
+            self._pending = (cache, res, new_frame.kfid, n_poses, n_points,
+                             n_obs)
+            if not self.defer_ba:
+                return  # process() flushes immediately
+        except Exception:
             p.local_ba_on = False
+            raise
 
     def _update_ba_parameters(self, cache, res, current_kfid, n_poses,
                               n_points, n_obs):
@@ -316,3 +344,5 @@ class Estimator:
     def reset(self):
         self.new_kf_available = False
         self.frame_queue.clear()
+        self._pending = None
+        self.params.local_ba_on = False
