@@ -95,6 +95,8 @@ def main():
         steady = stamps[WARMUP:] if len(stamps) > WARMUP else stamps
         fps = 1.0 / float(np.mean(steady))
 
+    sm.wait()  # apply deferred optimization results
+
     extras = {}
     if gt is not None and len(saver.trajectory_xyz()) == len(gt):
         try:

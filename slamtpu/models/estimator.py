@@ -38,7 +38,7 @@ class Estimator:
         # and applied at keyframe N+1 (sequential mode), overlapping the BA
         # device time with subsequent tracking — the same one-keyframe lag
         # the reference's estimator worker thread has (estimator.jl:79-110).
-        self.defer_ba = params.sequential
+        self.defer_ba = params.defer_ba
         self._pending = None
 
     # -- queue (estimator.jl:117-141) ------------------------------------------

@@ -170,9 +170,14 @@ class SlamManager:
             t.start()
             self._threads.append(t)
 
+    def finish(self):
+        """Apply any deferred optimization results (call at sequence end)."""
+        self.mapper.estimator.flush()
+
     def wait(self):
         """Drain queues and stop worker threads (threaded mode)."""
         if self.params.sequential:
+            self.finish()
             return
         while (self.get_queue_size() > 0 or self.mapper.keyframe_queue
                or self.mapper.estimator.frame_queue):

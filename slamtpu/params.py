@@ -55,6 +55,10 @@ class Params:
     # Run the whole post-init per-frame step as one fused device program
     # (one round trip per frame) instead of separate kernel calls.
     fused_front_end: bool = True
+    # Defer the BA fetch/apply by one keyframe (the reference's estimator
+    # worker lag). Slightly faster, but tracking sees a staler map —
+    # measured ~2x worse ATE on the synthetic benchmark, so off by default.
+    defer_ba: bool = False
     # Run mapper/estimator inline (lock-step) instead of worker threads.
     # The reference example drains all queues per frame anyway
     # (example/kitty/main.jl:46-54), so lock-step is the honest default.
