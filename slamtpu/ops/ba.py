@@ -43,14 +43,11 @@ def _residual_one(pose_theta, point, px_yx, intrinsics):
     return px_yx - proj, pc[2]
 
 
-def _residuals_and_jacobians(poses, points, pose_onehot, point_onehot,
-                             obs_px, weights, intrinsics):
-    """All-observation residuals (O, 2), Jp (O, 2, 6), Jx (O, 2, 3).
-
-    Per-observation parameter lookups run as one-hot matmuls (MXU) instead
-    of index gathers (latency-bound on the tunnel-attached device)."""
-    p_th = pose_onehot @ poses
-    x = point_onehot @ points
+def _residuals_and_jacobians(poses, points, obs_pose, obs_point, obs_px,
+                             weights, intrinsics):
+    """All-observation residuals (O, 2), Jp (O, 2, 6), Jx (O, 2, 3)."""
+    p_th = poses[obs_pose]
+    x = points[obs_point]
 
     def rfun(theta, pt, px):
         r, _ = _residual_one(theta, pt, px, intrinsics)
@@ -65,10 +62,9 @@ def _residuals_and_jacobians(poses, points, pose_onehot, point_onehot,
     return r * w, Jp * w[..., None], Jx * w[..., None], depth
 
 
-def _cost(poses, points, pose_onehot, point_onehot, obs_px, weights,
-          intrinsics):
-    p_th = pose_onehot @ poses
-    x = point_onehot @ points
+def _cost(poses, points, obs_pose, obs_point, obs_px, weights, intrinsics):
+    p_th = poses[obs_pose]
+    x = points[obs_point]
     r, _ = jax.vmap(
         lambda th, pt, px: _residual_one(th, pt, px, intrinsics)
     )(p_th, x, obs_px)
@@ -90,16 +86,13 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
     pose_onehot = jax.nn.one_hot(obs_pose, P, dtype=jnp.float32)   # (O, P)
     point_onehot = jax.nn.one_hot(obs_point, X, dtype=jnp.float32)  # (O, X)
 
-    obs_free = pose_onehot @ free_p  # (O,)
-
     def body(_, carry):
         poses, points, lam, cost = carry
         r, Jp, Jx, _ = _residuals_and_jacobians(
-            poses, points, pose_onehot, point_onehot, obs_px, weights,
-            intrinsics,
+            poses, points, obs_pose, obs_point, obs_px, weights, intrinsics
         )
         # Constant poses: zero their pose Jacobian (still constrain points).
-        Jp = Jp * obs_free[:, None, None]
+        Jp = Jp * free_p[obs_pose][:, None, None]
 
         JpJp = jnp.einsum("oia,oib->oab", Jp, Jp).reshape(-1, 36)
         U = (pose_onehot.T @ JpJp).reshape(P, 6, 6)
@@ -141,8 +134,8 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
         cand_poses = poses + dp.reshape(P, 6) * free_p[:, None]
         cand_points = points + dx
         new_cost = _cost(
-            cand_poses, cand_points, pose_onehot, point_onehot, obs_px,
-            weights, intrinsics,
+            cand_poses, cand_points, obs_pose, obs_point, obs_px, weights,
+            intrinsics,
         )
         accept = new_cost < cost
         poses = jnp.where(accept, cand_poses, poses)
@@ -153,8 +146,8 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
         )
         return poses, points, lam, cost
 
-    cost0 = _cost(poses, points, pose_onehot, point_onehot, obs_px,
-                  weights, intrinsics)
+    cost0 = _cost(poses, points, obs_pose, obs_point, obs_px, weights,
+                  intrinsics)
     poses, points, _, cost = jax.lax.fori_loop(
         0, iters, body, (poses, points, jnp.float32(1e-3), cost0)
     )
