@@ -39,12 +39,12 @@ class MotionModel:
             self.prev_wc = wc
             return
         dt = time - self.prev_time
-        self.prev_time = time
         if dt < 0:
             raise ValueError(
                 f"Got older than previous image! Previous time "
                 f"{self.prev_time} vs time {time}."
             )
+        self.prev_time = time
         if dt > 0:
             self.log_rel_t = hm.se3_log(hm.se3_inv(self.prev_wc) @ wc) / dt
         self.prev_wc = wc

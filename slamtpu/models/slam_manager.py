@@ -97,10 +97,17 @@ class SlamManager:
 
     # -- per-frame pipeline (SLAM.jl:187-230) -----------------------------------
 
+    @staticmethod
+    def _to_device_image(image):
+        arr = np.asarray(image, np.float32)
+        if arr.max() > 1.5:  # uint8-style input: normalize to [0, 1]
+            arr = arr / 255.0
+        return jnp.asarray(arr)
+
     def _process_frame(self, image, right_image, time: float):
-        image_dev = jnp.asarray(np.asarray(image, np.float32))
+        image_dev = self._to_device_image(image)
         right_dev = (
-            jnp.asarray(np.asarray(right_image, np.float32))
+            self._to_device_image(right_image)
             if right_image is not None else None
         )
 
