@@ -89,7 +89,8 @@ class SyntheticScene:
 def make_scene(n_frames: int = 30, height: int = 240, width: int = 320,
                n_points: int = 1500, stereo: bool = False,
                baseline: float = 0.5, seed: int = 0,
-               motion: str = "strafe") -> SyntheticScene:
+               motion: str = "strafe",
+               sigma_range=(0.9, 1.8)) -> SyntheticScene:
     """Random blob cloud + camera trajectory with exact ground truth.
 
     motion: "strafe" (sideways x-translation, good parallax) or "forward".
@@ -137,5 +138,7 @@ def make_scene(n_frames: int = 30, height: int = 240, width: int = 320,
         stereo=stereo,
     )
     scene._point_amps = rng.uniform(0.4, 1.0, n_points)
-    scene._point_sigmas = rng.uniform(0.9, 1.8, n_points)
+    # Blob size controls the coarsest pyramid level with usable texture:
+    # deep pyramids (4+ levels) need sigma_range up to ~5 px.
+    scene._point_sigmas = rng.uniform(*sigma_range, n_points)
     return scene

@@ -198,8 +198,10 @@ class Estimator:
         try:
             covisibility_map = new_frame.get_covisible_map()
             covisibility_map[new_frame.kfid] = new_frame.nb_3d_kpts
-            # Up to 5 newest keyframes (estimator.jl:328-331).
-            co_kfids = sorted(covisibility_map.keys(), reverse=True)[:5]
+            # Up to ba_window latest keyframes (estimator.jl:328-331).
+            co_kfids = sorted(
+                covisibility_map.keys(), reverse=True
+            )[: p.ba_window]
             covisibility_map = {k: covisibility_map[k] for k in co_kfids}
 
             cache = self._get_ba_parameters(

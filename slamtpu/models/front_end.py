@@ -215,6 +215,19 @@ class FrontEnd:
                 has_mp.append(False)
 
         n = len(ids)
+        if n > cap:
+            # Over-capacity keypoints stay untracked this frame (their
+            # observations are preserved; extraction keeps nb_keypoints near
+            # the budget, so this is a pathological-config guard).
+            log.warning("[FE] %d keypoints exceed capacity %d.", n, cap)
+            n = cap
+            ids = ids[:n]
+            px = px[:n]
+            is3d_prior = is3d_prior[:n]
+            disp = disp[:n]
+            mp_pos = mp_pos[:n]
+            has_mp = has_mp[:n]
+            attempted = attempted[:n]
         id_to_slot = {kpid: i for i, kpid in enumerate(ids)}
 
         join_ids, join_idx, prev_und, prev_bear = [], [], [], []
@@ -222,6 +235,8 @@ class FrontEnd:
             slot = id_to_slot.get(kpid)
             if slot is None or not attempted[slot]:
                 continue
+            if len(join_ids) >= cap:
+                break
             join_ids.append(kpid)
             join_idx.append(slot)
             prev_und.append(pkp.undistorted_pixel[::-1])

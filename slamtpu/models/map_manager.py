@@ -89,6 +89,10 @@ class MapManager:
         keypoints = self.extractor.detect(image_dev, current_points)
         if not keypoints:
             return
+        # Per-cell ceil budgets can overshoot the global budget
+        # (extractor.jl:76); cap so nb_keypoints stays within the padded
+        # device capacity.
+        keypoints = keypoints[:nb_to_detect]
         if self.params.do_local_matching:
             descriptors = self.extractor.describe(
                 image_dev, np.asarray(keypoints, np.float64)
@@ -320,10 +324,10 @@ class MapManager:
         disp = np.zeros((cap, 2), np.float32)
         prior = np.zeros((cap,), bool)
         valid = np.zeros((cap,), bool)
-        n3 = len(ids3d)
+        n3 = min(len(ids3d), cap)
         if n3:
-            pts[:n3] = np.asarray(px3d, np.float32).reshape(n3, 2)
-            disp[:n3] = np.asarray(disp3d, np.float32).reshape(n3, 2)
+            pts[:n3] = np.asarray(px3d[:n3], np.float32).reshape(n3, 2)
+            disp[:n3] = np.asarray(disp3d[:n3], np.float32).reshape(n3, 2)
             prior[:n3] = True
         n2 = min(len(ids2d), cap - n3)
         if n2:
@@ -343,6 +347,8 @@ class MapManager:
             (new_pts_d, ok_d, prior_ok_d)
         )
 
+        ids3d = ids3d[:n3]
+        ids2d_used = ids2d[:n2]
         nb_good = 0
         for j, kpid in enumerate(ids3d):
             if ok[j]:
@@ -358,8 +364,7 @@ class MapManager:
         if ids3d:
             log.debug("[MM] 3D points tracked %d. Stereo %s.", nb_good, stereo)
         self._apply_2d_results(
-            frame, ids2d, new_pts[n3:n3 + len(ids2d)],
-            ok[n3:n3 + len(ids2d)], stereo,
+            frame, ids2d_used, new_pts[n3:n3 + n2], ok[n3:n3 + n2], stereo,
         )
 
     def _apply_2d_results(self, frame, ids, new_pts, status, stereo):

@@ -50,6 +50,9 @@ class Params:
     # 5 LM iterations, outlier detection, then 10 more).
     ba_phase1_iterations: int = 5
     ba_phase2_iterations: int = 10
+    # Covisibility window: number of newest keyframes optimized per local BA
+    # (reference hardcodes 5, estimator.jl:328-331).
+    ba_window: int = 5
     # Deterministic seed for RANSAC sampling.
     seed: int = 0
     # Run the whole post-init per-frame step as one fused device program
