@@ -19,7 +19,31 @@ import time
 import numpy as np
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
-WARMUP = int(os.environ.get("BENCH_WARMUP", "12"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "15"))
+
+
+def prewarm_ba(camera):
+    """Compile the BA bucket variants the run will hit, outside the timed
+    window (the map grows through X/O padding buckets)."""
+    import jax.numpy as jnp
+    from slamtpu.ops.ba import local_bundle_adjustment
+
+    rng = np.random.default_rng(0)
+    intr = jnp.asarray(camera.intrinsics_array())
+    for X, O in ((256, 1024), (512, 2048), (1024, 4096), (2048, 8192)):
+        poses = jnp.asarray(rng.normal(0, 0.01, (8, 6)).astype(np.float32))
+        const = jnp.asarray(np.array([True] + [False] * 7))
+        pts = jnp.asarray(
+            (rng.uniform(-5, 5, (X, 3)) + [0, 0, 15]).astype(np.float32))
+        res = local_bundle_adjustment(
+            poses, const, pts,
+            jnp.asarray(rng.integers(0, 8, O).astype(np.int32)),
+            jnp.asarray(rng.integers(0, X, O).astype(np.int32)),
+            jnp.asarray(rng.uniform(0, 300, (O, 2)).astype(np.float32)),
+            jnp.ones((O,), bool), intr,
+            iters1=5, iters2=10, repr_eps=5.0,
+        )
+        res["final_cost"].block_until_ready()
 
 
 def load_frames():
@@ -67,6 +91,7 @@ def main():
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)
+    prewarm_ba(camera)
 
     if threaded:
         # Reference-style 3-stage pipeline: mapper + estimator overlap with
