@@ -38,7 +38,7 @@ def main():
     n = min(n, len(ds))
 
     fx, fy = ds.K[0, 0], ds.K[1, 1]
-    cx, cy = ds.K[0, 3], ds.K[1, 3]
+    cx, cy = ds.K[0, 2], ds.K[1, 2]
     camera = Camera(fx, fy, cx, cy, ds.height, ds.width)
     right_camera = Camera(fx, fy, cx, cy, ds.height, ds.width, Ti0=ds.Ti0)
 
