@@ -164,6 +164,19 @@ class Frame:
         self._grid_update(ckp, kp)
         self.keypoints[kpid] = kp
 
+    def update_stereo_keypoint_precomputed(self, kpid, right_pixel,
+                                           right_und, right_position):
+        """update_stereo_keypoint with device-precomputed values."""
+        kp = self.keypoints.get(kpid)
+        if kp is None:
+            return
+        kp.right_pixel = np.asarray(right_pixel, dtype=np.float64)
+        kp.right_undistorted_pixel = np.asarray(right_und, dtype=np.float64)
+        kp.right_position = np.asarray(right_position, dtype=np.float64)
+        if not kp.is_stereo:
+            kp.is_stereo = True
+            self.nb_stereo_kpts += 1
+
     def update_stereo_keypoint(self, kpid, right_pixel):
         """frame.jl:272-288."""
         kp = self.keypoints.get(kpid)

@@ -104,12 +104,16 @@ class MapManager:
         )
 
     def add_keypoints_to_frame(self, frame: Frame, keypoints, descriptors):
-        for kp, desc in zip(keypoints, descriptors):
-            frame.add_keypoint_from_pixel(
-                np.array([float(kp[0]), float(kp[1])]),
-                self.current_mappoint_id,
-                descriptor=desc,
-            )
+        from ..camera import backproject_batch, undistort_batch
+        from .frame import Keypoint
+
+        px = np.asarray(keypoints, np.float64).reshape(-1, 2)
+        und = undistort_batch(frame.camera, px)
+        pos = backproject_batch(frame.camera, und)
+        for i, desc in enumerate(descriptors):
+            frame.add_keypoint(Keypoint(
+                self.current_mappoint_id, px[i], und[i], pos[i], desc
+            ))
             self.add_mappoint(desc)
 
     def add_mappoint(self, descriptor=None):

@@ -95,22 +95,26 @@ class Mapper:
             return True
 
         if self.params.stereo and kf.right_image_dev is not None:
-            self.right_pyramid = build_lk_pyramid(
-                kf.right_image_dev,
-                levels=self.params.pyramid_levels,
-                sigma=self.params.pyramid_sigma,
-                pad=lk_pad(self.params.window_size),
-            )
-            with TIMERS.stage("mp.stereo_match"):
-                mm.optical_flow_matching(
-                    new_keyframe, kf.left_pyramid, self.right_pyramid,
-                    stereo=True,
+            if self.params.fused_front_end:
+                with mm.map_lock, TIMERS.stage("mp.stereo_fused"):
+                    self._stereo_fused(new_keyframe, kf)
+            else:
+                self.right_pyramid = build_lk_pyramid(
+                    kf.right_image_dev,
+                    levels=self.params.pyramid_levels,
+                    sigma=self.params.pyramid_sigma,
+                    pad=lk_pad(self.params.window_size),
                 )
-            log.debug("[MP] Stereo matching: %d keypoints.",
-                      new_keyframe.nb_stereo_kpts)
-            if new_keyframe.nb_stereo_kpts > 0:
-                with mm.map_lock, TIMERS.stage("mp.tri_stereo"):
-                    self.triangulate_stereo(new_keyframe)
+                with TIMERS.stage("mp.stereo_match"):
+                    mm.optical_flow_matching(
+                        new_keyframe, kf.left_pyramid, self.right_pyramid,
+                        stereo=True,
+                    )
+                log.debug("[MP] Stereo matching: %d keypoints.",
+                          new_keyframe.nb_stereo_kpts)
+                if new_keyframe.nb_stereo_kpts > 0:
+                    with mm.map_lock, TIMERS.stage("mp.tri_stereo"):
+                        self.triangulate_stereo(new_keyframe)
 
         if new_keyframe.nb_2d_kpts > 0 and new_keyframe.kfid > 0:
             with mm.map_lock, TIMERS.stage("mp.triangulate"):
@@ -137,6 +141,93 @@ class Mapper:
 
         self.estimator.add_new_kf(new_keyframe)
         return True
+
+    # -- fused stereo step (matching + gate + triangulation, one program) ---
+
+    def _stereo_fused(self, frame: Frame, kf: KeyFrame):
+        import jax
+        from ..ops.stereo_step import stereo_step
+        from ..utils.padding import pad_rows, valid_mask
+
+        mm = self.map_manager
+        p = self.params
+        cap = p.keypoint_capacity
+        scale3d = 0.5
+
+        ids, px, raw_y, und, prior, disp, tri_cand = [], [], [], [], [], [], []
+        for kp in list(frame.keypoints.values()):
+            mp = mm.get_mappoint(kp.id)
+            if kp.is_3d:
+                if mp is None:
+                    mm.remove_mappoint_obs(kp.id, frame.kfid)
+                    continue
+                projection = frame.project_world_to_right_image_distort(
+                    mp.get_position()
+                )
+                if not frame.in_right_image(projection):
+                    mm.remove_mappoint_obs(kp.id, frame.kfid)
+                    continue
+                prior_d = scale3d * (projection - kp.pixel)
+                is_prior = True
+            else:
+                prior_d = np.zeros(2)
+                is_prior = False
+            ids.append(kp.id)
+            px.append(kp.pixel)
+            raw_y.append(kp.pixel[0])
+            und.append(kp.undistorted_pixel)
+            prior.append(is_prior)
+            disp.append(prior_d)
+            tri_cand.append(
+                (not kp.is_3d) and mp is not None and not mp.is_3d
+            )
+        n = min(len(ids), cap)
+        if n == 0:
+            return
+        ids = ids[:n]
+
+        K4l = hm.mat3_to_4x4(frame.camera.K)
+        P2 = hm.mat3_to_4x4(frame.right_camera.K) @ frame.right_camera.Ti0
+
+        res = stereo_step(
+            kf.left_pyramid, kf.right_image_dev,
+            jnp.asarray(pad_rows(px, cap, np.float32)),
+            jnp.asarray(pad_rows(np.asarray(raw_y, np.float32), cap)),
+            jnp.asarray(pad_rows(und, cap, np.float32)),
+            jnp.asarray(pad_rows(np.asarray(prior, bool), cap)),
+            jnp.asarray(pad_rows(disp, cap, np.float32)),
+            jnp.asarray(valid_mask(n, cap)),
+            jnp.asarray(pad_rows(np.asarray(tri_cand, bool), cap)),
+            jnp.asarray(K4l, jnp.float32), jnp.asarray(P2, jnp.float32),
+            jnp.asarray(frame.right_camera.Ti0, jnp.float32),
+            jnp.asarray(frame.wc, jnp.float32),
+            jnp.asarray(frame.camera.intrinsics_array()),
+            jnp.asarray(frame.camera.distortion_array()),
+            jnp.asarray(frame.right_camera.intrinsics_array()),
+            jnp.asarray(frame.right_camera.distortion_array()),
+            levels=p.pyramid_levels, window=p.window_size,
+            iters=p.lk_iterations, eps=p.lk_epsilon,
+            eig_thresh=p.lk_eigenvalue_threshold,
+            pad=lk_pad(p.window_size), max_fb_distance=p.max_ktl_distance,
+            epipolar_error=2.0, max_error=p.max_reprojection_error,
+            sigma=p.pyramid_sigma, min_active=p.lk_min_active,
+        )
+        res = jax.device_get(res)
+
+        n_good = 0
+        for i, kpid in enumerate(ids):
+            if res["epi_ok"][i]:
+                frame.update_stereo_keypoint_precomputed(
+                    kpid, res["right_px"][i], res["right_und"][i],
+                    res["right_bear"][i],
+                )
+                n_good += 1
+            if res["tri_ok"][i]:
+                mm.update_mappoint(kpid, res["wpt"][i])
+            elif res["tri_rejected"][i]:
+                frame.remove_stereo_keypoint(kpid)
+        log.debug("[MP] Fused stereo: %d matched, %d triangulated.",
+                  n_good, int(res["tri_ok"][:n].sum()))
 
     # -- stereo triangulation (mapper.jl:142-183) -------------------------------
 

@@ -1,0 +1,125 @@
+"""Fused stereo keyframe step: right-pyramid build + stereo KLT matching +
+epipolar gating + stereo DLT triangulation in ONE device program.
+
+Replaces three separate dispatches on the keyframe path (reference
+mapper.jl:48-84): `optical_flow_matching(..., stereo=true)`
+(map_manager.jl:451-564), `maybe_stereo_update!` (:579-590), and
+`triangulate_stereo!` (mapper.jl:142-183). Semantics preserved:
+
+  - 3D keypoints track with the right-projection displacement prior at one
+    pyramid level, the rest at the full pyramid, failed-prior retry as
+    plain (the shared merged cascade);
+  - the epipolar gate compares UNDISTORTED row coordinates (<= 2 px) and
+    the accepted right pixel is (left_raw_y, tracked_x) (:586-588);
+  - triangulation gates: positive depth (>= 0.1) in both cameras and
+    reprojection error <= max_error in both (undistorted pixels vs plain
+    pinhole projection, mapper.jl:162-177);
+  - world point = frame.wc @ left_camera_point (:179).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .frontend_step import _undistort_backproject
+from .image import build_lk_pyramid
+from .lucas_kanade import merged_fb
+from .mvg import triangulate_points
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "window", "iters", "eps", "eig_thresh", "pad",
+        "max_fb_distance", "epipolar_error", "max_error", "sigma",
+        "min_active",
+    ),
+)
+def stereo_step(
+    pyr_left, right_image,
+    px,              # (N, 2) left pixels (y, x)
+    left_raw_y,      # (N,) raw left pixel y (epipolar-corrected right y)
+    left_und,        # (N, 2) left undistorted pixels (y, x)
+    prior_mask,      # (N,) track with right-projection prior
+    disp_prior,      # (N, 2) prior displacement (coarsest-level units)
+    valid,           # (N,)
+    tri_candidate,   # (N,) stereo-triangulate if matched (2D kp, 2D mp)
+    P1, P2,          # (4, 4) triangulation projections (K4, K4_R @ Ti0)
+    Ti0,             # (4, 4) left->right camera transform
+    wc,              # (4, 4) camera->world of the keyframe
+    intr_l, dist_l, intr_r, dist_r,
+    *,
+    levels: int, window: int, iters: int = 30, eps: float = 1e-2,
+    eig_thresh: float = 1e-4, pad: int = 17, max_fb_distance: float = 1.0,
+    epipolar_error: float = 2.0, max_error: float = 3.0, sigma: float = 1.0,
+    min_active: int = 0,
+):
+    pyr_right = build_lk_pyramid(
+        right_image, levels=levels, sigma=sigma, pad=pad
+    )
+
+    plain_mask = valid & ~prior_mask
+    prior = valid & prior_mask
+    cascade, backward = merged_fb(
+        pyr_left, pyr_right, px, plain_mask, prior, disp_prior,
+        levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
+        eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+    )
+    flow_m, ok_m = cascade(plain_mask, prior, disp_prior)
+    ok_m = backward(flow_m, ok_m, max_fb_distance)
+    retry_mask = prior & ~ok_m
+    flow_r, ok_r = cascade(retry_mask, None, None)
+    ok_r = backward(flow_r, ok_r & retry_mask, max_fb_distance)
+    use_retry = retry_mask & ok_r
+    tracked_px = jnp.where(use_retry[:, None], px + flow_r, px + flow_m)
+    ok = (ok_m | use_retry) & valid
+
+    # Epipolar gate on undistorted rows (map_manager.jl:579-590).
+    und_r, _ = _undistort_backproject(tracked_px, intr_r, dist_r)
+    epi_ok = ok & (jnp.abs(left_und[:, 0] - und_r[:, 0]) <= epipolar_error)
+    corrected = jnp.stack([left_raw_y, tracked_px[:, 1]], axis=-1)
+    right_und, right_bear = _undistort_backproject(corrected, intr_r, dist_r)
+
+    # Stereo DLT triangulation for the gated candidates (mapper.jl:142-183).
+    X = triangulate_points(
+        left_und[:, ::-1], right_und[:, ::-1], P1, P2
+    )  # (N, 4) homogeneous, left-camera frame
+    w_h = jnp.where(jnp.abs(X[:, 3:]) < 1e-12, 1e-12, X[:, 3:])
+    lp = X[:, :3] / w_h
+    rp = lp @ Ti0[:3, :3].T + Ti0[:3, 3]
+
+    fy_l, fx_l = intr_l[1], intr_l[0]
+    cy_l, cx_l = intr_l[3], intr_l[2]
+    fy_r, fx_r = intr_r[1], intr_r[0]
+    cy_r, cx_r = intr_r[3], intr_r[2]
+
+    def proj_yx(p, fx, fy, cx, cy):
+        z = jnp.where(jnp.abs(p[:, 2]) < 1e-12, 1e-12, p[:, 2])
+        return jnp.stack(
+            [fy * p[:, 1] / z + cy, fx * p[:, 0] / z + cx], axis=-1
+        )
+
+    lrepr = jnp.linalg.norm(
+        left_und - proj_yx(lp, fx_l, fy_l, cx_l, cy_l), axis=-1
+    )
+    rrepr = jnp.linalg.norm(
+        right_und - proj_yx(rp, fx_r, fy_r, cx_r, cy_r), axis=-1
+    )
+    tri_ok = (
+        epi_ok & tri_candidate
+        & (lp[:, 2] >= 0.1) & (rp[:, 2] >= 0.1)
+        & (lrepr <= max_error) & (rrepr <= max_error)
+    )
+    wpt = lp @ wc[:3, :3].T + wc[:3, 3]
+
+    return {
+        "right_px": corrected,
+        "right_und": right_und,
+        "right_bear": right_bear,
+        "epi_ok": epi_ok,
+        "tri_ok": tri_ok,
+        "tri_rejected": epi_ok & tri_candidate & ~tri_ok,
+        "wpt": wpt,
+    }
