@@ -95,7 +95,7 @@ class Mapper:
             return True
 
         if self.params.stereo and kf.right_image_dev is not None:
-            if self.params.fused_front_end:
+            if self.params.fused_stereo:
                 with mm.map_lock, TIMERS.stage("mp.stereo_fused"):
                     self._stereo_fused(new_keyframe, kf)
             else:

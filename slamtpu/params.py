@@ -58,6 +58,10 @@ class Params:
     # Run the whole post-init per-frame step as one fused device program
     # (one round trip per frame) instead of separate kernel calls.
     fused_front_end: bool = True
+    # Fused stereo keyframe step (matching+gate+triangulation, one program).
+    # Opt-in: measurably faster but currently degrades long-run trajectory
+    # accuracy vs the legacy path (divergence under investigation).
+    fused_stereo: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag). Slightly faster, but tracking sees a staler map —
     # measured ~2x worse ATE on the synthetic benchmark, so off by default.

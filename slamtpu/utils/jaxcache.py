@@ -23,6 +23,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        _enabled = True
     except Exception:  # pragma: no cover - best effort
         pass
+    # NOTE: do NOT set jax_default_matmul_precision here. Three independent
+    # experiments (BA lookups, BA reductions, global f32) showed that
+    # raising matmul precision above the TPU default consistently lands the
+    # pipeline in much worse trajectory basins on the synthetic benchmark
+    # (ATE 0.12 -> 1.6-1.7 m). Root cause under investigation (see PERF.md);
+    # the shipped configuration is the extensively-validated default.
+    _enabled = True
