@@ -88,7 +88,14 @@ def stereo_step(
     )  # (N, 4) homogeneous, left-camera frame
     w_h = jnp.where(jnp.abs(X[:, 3:]) < 1e-12, 1e-12, X[:, 3:])
     lp = X[:, :3] / w_h
-    rp = lp @ Ti0[:3, :3].T + Ti0[:3, 3]
+
+    def rigid(T, p):
+        # Elementwise (VPU) rigid transform: matmuls run at the TPU's
+        # default bf16 precision, which injects ~0.4% systematic error into
+        # every landmark position (measured as accumulating drift).
+        return jnp.sum(T[:3, :3][None] * p[:, None, :], axis=-1) + T[:3, 3]
+
+    rp = rigid(Ti0, lp)
 
     fy_l, fx_l = intr_l[1], intr_l[0]
     cy_l, cx_l = intr_l[3], intr_l[2]
@@ -112,7 +119,7 @@ def stereo_step(
         & (lp[:, 2] >= 0.1) & (rp[:, 2] >= 0.1)
         & (lrepr <= max_error) & (rrepr <= max_error)
     )
-    wpt = lp @ wc[:3, :3].T + wc[:3, 3]
+    wpt = rigid(wc, lp)
 
     return {
         "right_px": corrected,

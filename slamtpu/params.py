@@ -59,8 +59,9 @@ class Params:
     # (one round trip per frame) instead of separate kernel calls.
     fused_front_end: bool = True
     # Fused stereo keyframe step (matching+gate+triangulation, one program).
-    # Opt-in: measurably faster but currently degrades long-run trajectory
-    # accuracy vs the legacy path (divergence under investigation).
+    # Opt-in: faster, but drifts more over long runs than the legacy path
+    # (0.39 vs 0.12 m ATE at 60 frames after fixing its bf16 rigid
+    # transforms; residual divergence from f32 in-kernel gating).
     fused_stereo: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag). Slightly faster, but tracking sees a staler map —
