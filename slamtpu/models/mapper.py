@@ -214,7 +214,11 @@ class Mapper:
         )
         res = jax.device_get(res)
 
+        # Depth/reprojection gates in f64 on host, identical to the legacy
+        # triangulate_stereo (mapper.jl:155-181).
+        max_error = p.max_reprojection_error
         n_good = 0
+        n_tri = 0
         for i, kpid in enumerate(ids):
             if res["epi_ok"][i]:
                 frame.update_stereo_keypoint_precomputed(
@@ -222,12 +226,37 @@ class Mapper:
                     res["right_bear"][i],
                 )
                 n_good += 1
-            if res["tri_ok"][i]:
-                mm.update_mappoint(kpid, res["wpt"][i])
-            elif res["tri_rejected"][i]:
+            if not res["tri_cand"][i]:
+                continue
+            lp = np.asarray(res["left_point"][i], np.float64)
+            if lp[2] < 0.1:
                 frame.remove_stereo_keypoint(kpid)
+                continue
+            rp = frame.right_camera.Ti0[:3, :3] @ lp \
+                + frame.right_camera.Ti0[:3, 3]
+            if rp[2] < 0.1:
+                frame.remove_stereo_keypoint(kpid)
+                continue
+            kp = frame.get_keypoint(kpid)
+            if kp is None:
+                continue
+            lrepr = np.linalg.norm(
+                kp.undistorted_pixel - frame.camera.project(lp)
+            )
+            if lrepr > max_error:
+                frame.remove_stereo_keypoint(kpid)
+                continue
+            rrepr = np.linalg.norm(
+                kp.right_undistorted_pixel - frame.right_camera.project(rp)
+            )
+            if rrepr > max_error:
+                frame.remove_stereo_keypoint(kpid)
+                continue
+            wpt = frame.project_camera_to_world(lp)
+            mm.update_mappoint(kpid, wpt)
+            n_tri += 1
         log.debug("[MP] Fused stereo: %d matched, %d triangulated.",
-                  n_good, int(res["tri_ok"][:n].sum()))
+                  n_good, n_tri)
 
     # -- stereo triangulation (mapper.jl:142-183) -------------------------------
 

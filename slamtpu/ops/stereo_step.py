@@ -89,44 +89,14 @@ def stereo_step(
     w_h = jnp.where(jnp.abs(X[:, 3:]) < 1e-12, 1e-12, X[:, 3:])
     lp = X[:, :3] / w_h
 
-    def rigid(T, p):
-        # Elementwise (VPU) rigid transform: matmuls run at the TPU's
-        # default bf16 precision, which injects ~0.4% systematic error into
-        # every landmark position (measured as accumulating drift).
-        return jnp.sum(T[:3, :3][None] * p[:, None, :], axis=-1) + T[:3, 3]
-
-    rp = rigid(Ti0, lp)
-
-    fy_l, fx_l = intr_l[1], intr_l[0]
-    cy_l, cx_l = intr_l[3], intr_l[2]
-    fy_r, fx_r = intr_r[1], intr_r[0]
-    cy_r, cx_r = intr_r[3], intr_r[2]
-
-    def proj_yx(p, fx, fy, cx, cy):
-        z = jnp.where(jnp.abs(p[:, 2]) < 1e-12, 1e-12, p[:, 2])
-        return jnp.stack(
-            [fy * p[:, 1] / z + cy, fx * p[:, 0] / z + cx], axis=-1
-        )
-
-    lrepr = jnp.linalg.norm(
-        left_und - proj_yx(lp, fx_l, fy_l, cx_l, cy_l), axis=-1
-    )
-    rrepr = jnp.linalg.norm(
-        right_und - proj_yx(rp, fx_r, fy_r, cx_r, cy_r), axis=-1
-    )
-    tri_ok = (
-        epi_ok & tri_candidate
-        & (lp[:, 2] >= 0.1) & (rp[:, 2] >= 0.1)
-        & (lrepr <= max_error) & (rrepr <= max_error)
-    )
-    wpt = rigid(wc, lp)
-
+    # Depth/reprojection gating and the world transform run on the HOST in
+    # f64 (identical to the legacy path's gates); the kernel returns the raw
+    # left-camera triangulations.
     return {
         "right_px": corrected,
         "right_und": right_und,
         "right_bear": right_bear,
         "epi_ok": epi_ok,
-        "tri_ok": tri_ok,
-        "tri_rejected": epi_ok & tri_candidate & ~tri_ok,
-        "wpt": wpt,
+        "tri_cand": epi_ok & tri_candidate,
+        "left_point": lp,
     }

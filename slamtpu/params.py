@@ -58,10 +58,11 @@ class Params:
     # Run the whole post-init per-frame step as one fused device program
     # (one round trip per frame) instead of separate kernel calls.
     fused_front_end: bool = True
-    # Fused stereo keyframe step (matching+gate+triangulation, one program).
-    # Opt-in: faster, but drifts more over long runs than the legacy path
-    # (0.39 vs 0.12 m ATE at 60 frames after fixing its bf16 rigid
-    # transforms; residual divergence from f32 in-kernel gating).
+    # Fused stereo keyframe step (matching + epipolar gate + triangulation
+    # in one device program; depth/reprojection gates in f64 on host).
+    # Opt-in: faster, but still drifts more over long runs than the legacy
+    # path (0.21 vs 0.12 m ATE at 60 frames) even with identical gate
+    # inputs — the same numeric-sensitivity class documented in PERF.md.
     fused_stereo: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag). Slightly faster, but tracking sees a staler map —
