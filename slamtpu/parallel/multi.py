@@ -32,6 +32,14 @@ from ..ops.se3 import rot_zyx
 
 def make_mesh(n_devices: int) -> Mesh:
     devs = jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"make_mesh({n_devices}) needs {n_devices} devices but the "
+            f"process sees {len(devs)}. For a virtual CPU mesh set "
+            "JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n_devices} before jax initializes (see "
+            "__graft_entry__.dryrun_multichip)."
+        )
     if n_devices >= 4 and n_devices % 2 == 0:
         shape = (n_devices // 2, 2)
     else:
