@@ -56,23 +56,31 @@ class SyntheticScene:
         # Per-point intensity/size keyed by point index for stable appearance.
         rng_amp = self._point_amps[vis]
         rng_sig = self._point_sigmas[vis]
-        for y, x, a, s in zip(ys, xs, rng_amp, rng_sig):
+        # Opaque compositing, far-to-near: a near blob OCCLUDES what is
+        # behind it (alpha blend with its own Gaussian footprint as alpha)
+        # instead of adding to it. Additive rendering made overlapping
+        # blobs at different depths shine through each other — a window
+        # containing two depths moves incoherently (transparency), which
+        # real surfaces (KITTI) never do, and tracking survival collapsed.
+        order = np.argsort(-pc[:, 2])  # far first
+        for j in order:
+            y, x, a, s = ys[j], xs[j], rng_amp[j], rng_sig[j]
             iy, ix = int(np.floor(y)), int(np.floor(x))
             if iy < -radius or iy >= h + radius or ix < -radius or ix >= w + radius:
                 continue
             gy = np.exp(-0.5 * ((ax - (y - iy)) / s) ** 2)
             gx = np.exp(-0.5 * ((ax - (x - ix)) / s) ** 2)
-            stamp = a * gy[:, None] * gx[None, :]
+            alpha = gy[:, None] * gx[None, :]
             y0, y1 = iy - radius, iy + radius + 1
             x0, x1 = ix - radius, ix + radius + 1
             sy0, sx0 = max(0, -y0), max(0, -x0)
-            sy1 = stamp.shape[0] - max(0, y1 - h)
-            sx1 = stamp.shape[1] - max(0, x1 - w)
+            sy1 = alpha.shape[0] - max(0, y1 - h)
+            sx1 = alpha.shape[1] - max(0, x1 - w)
             if sy1 <= sy0 or sx1 <= sx0:
                 continue
-            img[max(0, y0):min(h, y1), max(0, x0):min(w, x1)] += (
-                stamp[sy0:sy1, sx0:sx1]
-            )
+            al = alpha[sy0:sy1, sx0:sx1]
+            region = (slice(max(0, y0), min(h, y1)), slice(max(0, x0), min(w, x1)))
+            img[region] = (1.0 - al) * img[region] + al * a
         return np.clip(img, 0.0, 1.0).astype(np.float32)
 
     def frame(self, i: int):
@@ -137,7 +145,9 @@ def make_scene(n_frames: int = 30, height: int = 240, width: int = 320,
         right_camera=right_camera,
         stereo=stereo,
     )
-    scene._point_amps = rng.uniform(0.4, 1.0, n_points)
+    # High-contrast, sharply-localizable features (KITTI-like corners are
+    # sub-pixel localizable; faint wide blobs are not).
+    scene._point_amps = rng.uniform(0.55, 1.0, n_points)
     # Blob size controls the coarsest pyramid level with usable texture:
     # deep pyramids (4+ levels) need sigma_range up to ~5 px.
     scene._point_sigmas = rng.uniform(*sigma_range, n_points)

@@ -214,9 +214,15 @@ class Estimator:
                 p.local_ba_on = False
                 return
 
+            # Fixed default capacities: every new (P, X, O) shape costs a
+            # ~1.2 s jax re-trace (+compile) of the BA program; with a
+            # growing map the power-of-two buckets cycle through a dozen
+            # combos and the bench spent 39 s/60 frames re-tracing. One
+            # generous static shape traces once; padded entries are masked
+            # (obs_valid) and execution is ~65 ms regardless.
             P = next_bucket(n_poses, minimum=8, maximum=None)
-            X = next_bucket(n_points, minimum=256)
-            O = next_bucket(n_obs, minimum=1024)
+            X = next_bucket(n_points, minimum=2048)
+            O = next_bucket(n_obs, minimum=8192)
 
             poses0 = np.zeros((P, 6), np.float32)
             poses0[:n_poses] = np.asarray(cache["pose_vecs"], np.float32)

@@ -38,7 +38,8 @@ def _triangulate_padded(px1, px2, P1, P2):
     from ..utils.padding import next_bucket
 
     n = len(px1)
-    cap = next_bucket(n, minimum=128)
+    # One fixed shape in the common case — every new shape re-traces.
+    cap = next_bucket(n, minimum=1024)
     a = np.zeros((cap, 2), np.float32)
     b = np.zeros((cap, 2), np.float32)
     a[:n] = px1
@@ -357,6 +358,15 @@ class Mapper:
         for kfid, pairs in groups.items():
             observer_kf = mm.get_keyframe(kfid)
             rel_pose = observer_kf.cw @ frame.wc   # frame -> observer
+            if np.linalg.norm(rel_pose[:3, 3]) < 1e-9:
+                # Zero baseline (e.g. the bootstrap keyframe before any
+                # motion estimate): two-view DLT is degenerate and returns
+                # the null vector, which the reference's low-parallax
+                # acceptance (mapper.jl:244-260 gates only when
+                # parallax > 20) would admit as a (0,0,0) map point with
+                # ~1e5 px residuals. No depth information exists — keep
+                # the keypoints 2D for a later keyframe.
+                continue
             rel_pose_inv = hm.se3_inv(rel_pose)
             P1 = K4.copy()
             P2 = K4 @ rel_pose_inv

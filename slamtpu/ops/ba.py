@@ -155,12 +155,14 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters1", "iters2", "repr_eps", "depth_eps")
+    jax.jit, static_argnames=("iters1", "iters2", "repr_eps", "depth_eps",
+                              "gross_eps")
 )
 def local_bundle_adjustment(poses0, pose_const, points0, obs_pose, obs_point,
                             obs_px, obs_valid, intrinsics, *,
                             iters1: int = 5, iters2: int = 10,
-                            repr_eps: float = 5.0, depth_eps: float = 1e-6):
+                            repr_eps: float = 5.0, depth_eps: float = 1e-6,
+                            gross_eps: float = 1e4):
     """Two-phase local BA (reference bundle_adjustment.jl:1-55).
 
     poses0: (P, 6) Euler-ZYX cw pose parameters.
@@ -170,8 +172,22 @@ def local_bundle_adjustment(poses0, pose_const, points0, obs_pose, obs_point,
     intrinsics: (4,) (fx, fy, cx, cy).
 
     Returns dict: poses (P, 6), points (X, 3), outliers (O,), final_cost.
+
+    Observations whose INITIAL squared error exceeds `gross_eps` (100 px at
+    the default) are excluded before phase 1 and reported as outliers: a
+    single garbage observation (a degenerate triangulation at ~1e5 px) makes
+    phase-1 LM drag every pose toward it, after which the phase-1 outlier
+    test flags the GOOD observations and phase 2 gauge-drifts. The
+    reference's f64 LSMR tolerates this; a padded-batch f32 LM must not.
     """
     free = ~pose_const
+
+    r0, depth0 = jax.vmap(
+        lambda th, pt, px: _residual_one(th, pt, px, intrinsics)
+    )(poses0[obs_pose], points0[obs_point], obs_px)
+    sq0 = jnp.sum(r0 * r0, axis=-1)
+    gross = ((depth0 < depth_eps) | (sq0 > gross_eps)) & obs_valid
+    obs_valid = obs_valid & ~gross
     w1 = obs_valid.astype(jnp.float32)
 
     poses1, points1, _ = _lm_rounds(
@@ -194,6 +210,6 @@ def local_bundle_adjustment(poses0, pose_const, points0, obs_pose, obs_point,
     return {
         "poses": poses2,
         "points": points2,
-        "outliers": outliers,
+        "outliers": outliers | gross,
         "final_cost": cost,
     }

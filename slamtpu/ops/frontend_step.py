@@ -108,28 +108,16 @@ def frontend_step(
     # (map_manager.jl:458,466) — mask-equivalent to the reference's two
     # separate batches but half the sequential level blocks (each block
     # costs milliseconds of gather latency on the tunnel-attached device).
-    # The failed-prior retry re-runs the full cascade and is skipped
-    # entirely (lax.cond inside lk_flow) when no point failed.
-    from .lucas_kanade import merged_fb
+    # The failed-prior retry (map_manager.jl:534-537) runs as shadow lanes
+    # inside the SAME cascade (fb_shadow) instead of a second one.
+    from .lucas_kanade import fb_shadow
 
-    prior_mask = valid & is3d_prior
-    plain_mask = valid & ~is3d_prior
-    cascade, backward = merged_fb(
-        pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior,
+    new_px, ok, tracked_with_prior = fb_shadow(
+        pyr_prev, pyr_cur, px, is3d_prior, disp_prior, valid,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
-        eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+        eig_thresh=eig_thresh, pad=pad, max_distance=max_fb_distance,
+        min_active=min_active,
     )
-    flow_m, ok_m = cascade(plain_mask, prior_mask, disp_prior)
-    ok_m = backward(flow_m, ok_m, max_fb_distance)
-
-    retry_mask = prior_mask & ~ok_m
-    flow_r, ok_r = cascade(retry_mask, None, None)
-    ok_r = backward(flow_r, ok_r & retry_mask, max_fb_distance)
-
-    use_retry = retry_mask & ok_r
-    new_px = jnp.where(use_retry[:, None], px + flow_r, px + flow_m)
-    ok = (ok_m | use_retry) & valid
-    tracked_with_prior = prior_mask & ok_m
 
     # ---- 2. Batched undistort/backproject. ---------------------------------
     und_px, bearings = _undistort_backproject(new_px, intrinsics, dist)

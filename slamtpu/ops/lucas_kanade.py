@@ -194,8 +194,13 @@ def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
 # gathered once per level as a (T+1+2*MARGIN)^2 patch per point; solver
 # iterations sample inside it with static shifted slices (no per-iteration
 # HBM gathers — gather latency dominates on the tunnel-attached device).
-# Points drifting past the margin trigger a single collective re-gather.
-LK_PATCH_MARGIN = 3
+# In the lane-major kernel a point drifting past the margin FAILS (its flow
+# never updates from clamped data); measured intra-level drift is <= 7 px
+# at KITTI scale, so margin 6 makes escapes rare, and the forward-backward
+# check plus the failed-prior retry absorb them. (A conditional re-gather
+# inside the while_loop costs ~0.9 ms/iteration on TPU — the cond's gather
+# branch serializes the loop — which dominated the whole front-end.)
+LK_PATCH_MARGIN = 6
 
 
 def lk_pad(window: int) -> int:
@@ -204,7 +209,7 @@ def lk_pad(window: int) -> int:
 
 
 def _lk_level_patch(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
-                    eig_thresh, pad):
+                    eig_thresh, pad, min_active: int = 0):
     """Patch-cached variant of _lk_level (same contract and semantics).
 
     The per-iteration bilinear sample of the second image reads from a
@@ -338,9 +343,160 @@ def _lk_level_patch(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
         running = running & ok & ~converged
         return it + 1, flow, running, ok, patch, base
 
+    stop_thresh = jnp.minimum(min_active, jnp.sum(ok) // 32)
+
     def cond(carry):
         it, _, running, _, _, _ = carry
-        return (it < iters) & jnp.any(running)
+        return (it < iters) & (jnp.sum(running) > stop_thresh)
+
+    _, flow, _, ok, _, _ = jax.lax.while_loop(
+        cond, body, (0, flow, ok, ok, patch0, base0)
+    )
+    return flow, ok
+
+
+def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
+                          eps, eig_thresh, pad, min_active: int = 0):
+    """Lane-major variant of _lk_level_patch (same contract and semantics).
+
+    All (window x window) per-point arrays are laid out (T, T, N) instead of
+    (N, T, T): the point axis N (a multiple of 128 in production, padded
+    capacity) lands on the TPU lane dimension, so VPU ops run at full lane
+    utilization. The (N, T, T) layout pads T=2w+1 (typically 19) out to 128
+    lanes — ~6.7x wasted bandwidth on every one of the ~25 elementwise passes
+    per solver iteration, measured ~1.3 ms/iteration at N=1024; this layout
+    is ~8x leaner per pass.
+    """
+    H, W = hw
+    w = window
+    T = 2 * w + 1
+    R = LK_PATCH_MARGIN
+    P = T + 1 + 2 * R
+    n = p_lvl.shape[0]
+
+    oy = jnp.arange(-w, w + 1, dtype=jnp.float32)[:, None, None]  # (T,1,1)
+    ox = jnp.arange(-w, w + 1, dtype=jnp.float32)[None, :, None]  # (1,T,1)
+
+    start = p_lvl - w + pad
+
+    def one(s):
+        return jax.lax.dynamic_slice(d1["stack"], (0, s[0], s[1]), (6, T, T))
+
+    stack_w = jax.vmap(one)(start)            # (N, 6, T, T) — once per level
+    stack_w = stack_w.transpose(1, 2, 3, 0)   # (6, T, T, N)
+    img1_w, iy_w, ix_w = stack_w[0], stack_w[1], stack_w[2]
+    gyy_w, gxx_w, gyx_w = stack_w[3], stack_w[4], stack_w[5]
+
+    p_f = p_lvl.astype(jnp.float32)
+    hw_max = jnp.array([H - 1, W - 1], dtype=jnp.float32)
+
+    def window_mask(q):
+        up = jnp.floor(jnp.minimum(float(w), jnp.minimum(p_f[:, 0], q[:, 0])))
+        down = jnp.floor(
+            jnp.minimum(float(w), hw_max[0] - jnp.maximum(p_f[:, 0], q[:, 0]))
+        )
+        left = jnp.floor(jnp.minimum(float(w), jnp.minimum(p_f[:, 1], q[:, 1])))
+        right = jnp.floor(
+            jnp.minimum(float(w), hw_max[1] - jnp.maximum(p_f[:, 1], q[:, 1]))
+        )
+        my = (oy >= -up[None, None, :]) & (oy <= down[None, None, :])
+        mx = (ox >= -left[None, None, :]) & (ox <= right[None, None, :])
+        return (my & mx).astype(jnp.float32)  # (T, T, N)
+
+    def structure_tensor(mask):
+        syy = jnp.sum(gyy_w * mask, axis=(0, 1))
+        sxx = jnp.sum(gxx_w * mask, axis=(0, 1))
+        syx = jnp.sum(gyx_w * mask, axis=(0, 1))
+        ia, ib, ic, _, s2 = pinv2x2_sym(syy, syx, sxx)
+        count = jnp.sum(mask, axis=(0, 1))
+        return ia, ib, ic, s2 / jnp.maximum(count, 1.0)
+
+    def in_bounds(q):
+        return (
+            (q[:, 0] >= 0.0) & (q[:, 0] <= hw_max[0])
+            & (q[:, 1] >= 0.0) & (q[:, 1] <= hw_max[1])
+        )
+
+    def gather_patches(q):
+        """(P, P, N) patches of the second image centered at floor(q)."""
+        base = jnp.floor(q).astype(jnp.int32) - w - R + pad
+
+        def onep(s):
+            return jax.lax.dynamic_slice(d2["img"], (s[0], s[1]), (P, P))
+
+        return jax.vmap(onep)(base).transpose(1, 2, 0), base
+
+    def select_window(patch, rel):
+        """(P, P, N), (N, 2) int in [0, 2R] -> (T+1, T+1, N) windows using
+        static shifted slices (selection masks broadcast over lanes)."""
+        rows = jnp.zeros((T + 1, P, n), jnp.float32)
+        for a in range(2 * R + 1):
+            sel = (rel[:, 0] == a).astype(jnp.float32)[None, None, :]
+            rows = rows + sel * patch[a:a + T + 1]
+        out = jnp.zeros((T + 1, T + 1, n), jnp.float32)
+        for b in range(2 * R + 1):
+            sel = (rel[:, 1] == b).astype(jnp.float32)[None, None, :]
+            out = out + sel * rows[:, b:b + T + 1]
+        return out
+
+    q0 = p_f + flow
+    patch0, base0 = gather_patches(jnp.where(in_bounds(q0)[:, None], q0, p_f))
+
+    def body(carry):
+        it, flow, running, ok, patch, base = carry
+        q = p_f + flow
+        inb = in_bounds(q)
+        fail = running & ~inb
+
+        q_safe = jnp.where(inb[:, None], q, p_f)
+        mask = window_mask(q_safe)
+        ia, ib, ic, min_eig = structure_tensor(mask)
+        fail = fail | (running & (min_eig < eig_thresh))
+
+        q_floor = jnp.floor(q_safe)
+        frac = q_safe - q_floor
+        rel = q_floor.astype(jnp.int32) - w + pad - base
+        # A point that drifts past the patch margin fails: no conditional
+        # re-gather (a cond whose branch gathers serializes the while_loop
+        # at ~0.9 ms/iteration). Its flow never updates from clamped data.
+        escaped = (
+            (rel[:, 0] < 0) | (rel[:, 0] > 2 * R)
+            | (rel[:, 1] < 0) | (rel[:, 1] > 2 * R)
+        )
+        fail = fail | (running & escaped)
+        rel = jnp.clip(rel, 0, 2 * R)
+
+        big = select_window(patch, rel)  # (T+1, T+1, N)
+        fy = frac[:, 0][None, None, :]
+        fx = frac[:, 1][None, None, :]
+        img2_s = (
+            (1.0 - fy) * (1.0 - fx) * big[:T, :T]
+            + (1.0 - fy) * fx * big[:T, 1:]
+            + fy * (1.0 - fx) * big[1:, :T]
+            + fy * fx * big[1:, 1:]
+        )
+
+        diff = (img1_w - img2_s) * mask
+        by = jnp.sum(diff * iy_w, axis=(0, 1))
+        bx = jnp.sum(diff * ix_w, axis=(0, 1))
+        step_y = ia * by + ib * bx
+        step_x = ib * by + ic * bx
+
+        converged = (jnp.abs(step_y) < eps) & (jnp.abs(step_x) < eps)
+        new_flow = flow + jnp.stack([step_y, step_x], axis=-1)
+        fail = fail | (running & ~converged & ~in_bounds(p_f + new_flow))
+
+        advance = running & ~fail & ~converged
+        flow = jnp.where(advance[:, None], new_flow, flow)
+        ok = ok & ~fail
+        running = running & ok & ~converged
+        return it + 1, flow, running, ok, patch, base
+
+    stop_thresh = jnp.minimum(min_active, jnp.sum(ok) // 32)
+
+    def cond(carry):
+        it, _, running, _, _, _ = carry
+        return (it < iters) & (jnp.sum(running) > stop_thresh)
 
     _, flow, _, ok, _, _ = jax.lax.while_loop(
         cond, body, (0, flow, ok, ok, patch0, base0)
@@ -356,6 +512,22 @@ def _use_pallas_default() -> bool:
         return False
     import jax
     return jax.default_backend() == "tpu"
+
+
+def _select_level_fn(pad: int, window: int, has_stack: bool):
+    """Pick the per-level LK kernel: lane-major patch-cached (default) >
+    point-major patch-cached (SLAMTPU_NO_LANE_LK) > exact per-iteration
+    gather (SLAMTPU_NO_PATCH_LK, or insufficient padding/stack)."""
+    import os
+    if (
+        os.environ.get("SLAMTPU_NO_PATCH_LK")
+        or pad < lk_pad(window)
+        or not has_stack
+    ):
+        return _lk_level
+    if os.environ.get("SLAMTPU_NO_LANE_LK"):
+        return _lk_level_patch
+    return _lk_level_patch_lanes
 
 
 def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
@@ -388,27 +560,21 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
                 eig_thresh=eig_thresh, pad=pad,
             )
         else:
-            # Patch-cached variant (default): identical results, ~2.4x
-            # faster on TPU (no per-iteration dependent gathers). Requires
-            # enough image padding for the (T+1+2*MARGIN) patches.
-            import os
-            level_fn = (
-                _lk_level_patch
-                if not os.environ.get("SLAMTPU_NO_PATCH_LK")
-                and pad >= lk_pad(window) and "stack" in d1 else _lk_level
-            )
+            # Patch-cached variant (default): identical results, no
+            # per-iteration dependent gathers; lane-major layout keeps the
+            # point axis on the 128 TPU lanes. Requires enough image padding
+            # for the (T+1+2*MARGIN) patches.
+            level_fn = _select_level_fn(pad, window, "stack" in d1)
 
             # Skip the whole level when no point is alive (e.g. the
             # failed-prior retry pass is usually empty).
             def run(args, level_fn=level_fn):
                 f, o = args
-                kw = dict(
-                    hw=hw, window=window, iters=iters, eps=eps,
-                    eig_thresh=eig_thresh, pad=pad,
+                return level_fn(
+                    d1, d2, p_lvl, f, o, hw=hw, window=window, iters=iters,
+                    eps=eps, eig_thresh=eig_thresh, pad=pad,
+                    min_active=min_active,
                 )
-                if level_fn is _lk_level:
-                    kw["min_active"] = min_active
-                return level_fn(d1, d2, p_lvl, f, o, **kw)
 
             flow, ok = jax.lax.cond(
                 jnp.any(ok), run, lambda args: args, (flow, ok)
@@ -466,14 +632,7 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
 
     Returns (new_px, ok).
     """
-    import os as _os
-
-    level_fn = (
-        _lk_level_patch
-        if not _os.environ.get("SLAMTPU_NO_PATCH_LK")
-        and pad >= lk_pad(window)
-        else _lk_level
-    )
+    level_fn = _select_level_fn(pad, window, True)
 
     def cascade(active0, inject_mask, inject_disp):
         flow = jnp.zeros_like(px)
@@ -489,13 +648,11 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
             p_lvl = jnp.floor(px / (2.0 ** level)).astype(jnp.int32)
 
             def run(args, d1=d1, d2=d2, hw=hw, p_lvl=p_lvl):
-                kw = dict(
-                    hw=hw, window=window, iters=iters, eps=eps,
-                    eig_thresh=eig_thresh, pad=pad,
+                return level_fn(
+                    d1, d2, p_lvl, args[0], args[1], hw=hw, window=window,
+                    iters=iters, eps=eps, eig_thresh=eig_thresh, pad=pad,
+                    min_active=min_active,
                 )
-                if level_fn is _lk_level:
-                    kw["min_active"] = min_active
-                return level_fn(d1, d2, p_lvl, args[0], args[1], **kw)
 
             flow, ok = jax.lax.cond(
                 jnp.any(ok), run, lambda args: args, (flow, ok)
@@ -516,6 +673,75 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
     return cascade, backward
 
 
+def fb_shadow(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
+              levels, prior_level=1, window=9, iters=30, eps=1e-2,
+              eig_thresh=1e-4, pad=17, max_distance=1.0, min_active=0):
+    """Forward-backward KLT with the failed-prior retry as SHADOW lanes.
+
+    The reference retries prior-tracked points that failed as plain points
+    from the coarsest level (map_manager.jl:534-537) — a second full level
+    cascade. Here every prior point is tracked BOTH ways simultaneously in
+    one doubled (2N-lane) cascade: lanes [0, N) run the reference's main
+    pass (plain from coarsest + prior injected at `prior_level`), lanes
+    [N, 2N) run all prior points as plain. One backward pass checks both.
+    Per-point results are identical to the sequential retry (LK iterations
+    are per-point independent); the level-block count halves (the fixed
+    per-block gather/setup cost dominates on TPU at production sizes).
+
+    Returns (new_px, ok, tracked_with_prior).
+    """
+    n = px.shape[0]
+    plain_mask = valid & ~prior_mask
+    prior = valid & prior_mask
+
+    px2 = jnp.concatenate([px, px])
+    active0 = jnp.concatenate([plain_mask, prior])
+    inject = jnp.concatenate([prior, jnp.zeros_like(prior)])
+    disp2 = jnp.concatenate([disp_prior, jnp.zeros_like(disp_prior)])
+
+    level_fn = _select_level_fn(pad, window, True)
+
+    flow = jnp.zeros_like(px2)
+    ok2 = active0
+    for level in range(levels, -1, -1):
+        if level == prior_level:
+            flow = jnp.where((inject & ~active0)[:, None], disp2, flow)
+            ok2 = ok2 | inject
+        d1, d2 = pyr_prev[level], pyr_cur[level]
+        hw = pyramid_level_shape(d1, pad)
+        p_lvl = jnp.floor(px2 / (2.0 ** level)).astype(jnp.int32)
+
+        def run(args, d1=d1, d2=d2, hw=hw, p_lvl=p_lvl):
+            return level_fn(
+                d1, d2, p_lvl, args[0], args[1], hw=hw, window=window,
+                iters=iters, eps=eps, eig_thresh=eig_thresh, pad=pad,
+                min_active=min_active,
+            )
+
+        flow, ok2 = jax.lax.cond(
+            jnp.any(ok2), run, lambda args: args, (flow, ok2)
+        )
+        if level > 0:
+            flow = flow * 2.0
+
+    # One backward pass (level 0) over both families.
+    flow_b, bst = lk_flow(
+        pyr_cur, pyr_prev, px2 + flow, -flow, ok2,
+        levels=0, window=window, iters=iters, eps=eps,
+        eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+    )
+    dist_fb = jnp.linalg.norm(flow + flow_b, axis=-1)
+    okfb = ok2 & bst & (dist_fb < max_distance)
+
+    ok_m, ok_r = okfb[:n], okfb[n:]
+    flow_m, flow_r = flow[:n], flow[n:]
+    retry_mask = prior & ~ok_m
+    use_retry = retry_mask & ok_r
+    new_px = jnp.where(use_retry[:, None], px + flow_r, px + flow_m)
+    ok = (ok_m | use_retry) & valid
+    return new_px, ok, prior & ok_m
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -527,21 +753,9 @@ def fb_track_merged(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
                     levels, prior_level=1, window=9, iters=30, eps=1e-2,
                     eig_thresh=1e-4, pad=17, max_distance=1.0, min_active=0):
     """One-dispatch forward-backward KLT for both families + retry."""
-    plain_mask = valid & ~prior_mask
-    prior = valid & prior_mask
-    cascade, backward = merged_fb(
-        pyr_prev, pyr_cur, px, plain_mask, prior, disp_prior,
+    return fb_shadow(
+        pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid,
         levels=levels, prior_level=prior_level, window=window, iters=iters,
-        eps=eps, eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+        eps=eps, eig_thresh=eig_thresh, pad=pad, max_distance=max_distance,
+        min_active=min_active,
     )
-    flow_m, ok_m = cascade(plain_mask, prior, disp_prior)
-    ok_m = backward(flow_m, ok_m, max_distance)
-
-    retry_mask = prior & ~ok_m
-    flow_r, ok_r = cascade(retry_mask, None, None)
-    ok_r = backward(flow_r, ok_r & retry_mask, max_distance)
-
-    use_retry = retry_mask & ok_r
-    new_px = jnp.where(use_retry[:, None], px + flow_r, px + flow_m)
-    ok = (ok_m | use_retry) & valid
-    return new_px, ok, ok_m & prior
