@@ -10,6 +10,8 @@ import time
 
 sys.path.insert(0, ".")
 
+from slamtpu.utils.jaxcache import enable_compilation_cache
+enable_compilation_cache()
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -12,29 +12,30 @@ import jax
 
 import slamtpu.ops.frontend_step as fs_mod
 
-orig = fs_mod.frontend_step
+# v2 path: wrap the OUTER jitted entry (frontend_step_v2) — the inner
+# frontend_step now runs under jit where device_get on tracers would fail.
+orig = fs_mod.frontend_step_v2
 captured = {}
 
 
-def wrapper(pyr_prev, pyr_cur, *args, **kwargs):
-    if "args" not in captured and len(captured.get("count", [])) == []:
-        pass
+def wrapper(image, pyr_prev, *args, **kwargs):
     captured.setdefault("n", 0)
     captured["n"] += 1
+    out = orig(image, pyr_prev, *args, **kwargs)
     if captured["n"] == 6:  # a steady tracked frame
+        captured["image"] = jax.device_get(image)
         captured["pyr_prev"] = jax.device_get(pyr_prev)
-        captured["pyr_cur"] = jax.device_get(pyr_cur)
         captured["args"] = jax.device_get(args)
         captured["kwargs"] = kwargs
-    return orig(pyr_prev, pyr_cur, *args, **kwargs)
+    return out
 
 
-fs_mod.frontend_step = wrapper
+fs_mod.frontend_step_v2 = wrapper
 import slamtpu.models.front_end as fe_mod
 
 fe_mod_frontend = fe_mod  # front_end imports inside the function; patching
 # the module attribute above is enough because _dispatch_fused does
-# `from ..ops.frontend_step import frontend_step` at call time.
+# `from ..ops.frontend_step import frontend_step_v2` at call time.
 
 from slamtpu import Params, SlamManager, ReplaySaver
 from slamtpu.datasets.synthetic import make_scene
@@ -51,14 +52,14 @@ sm.finish()
 
 import pickle
 
-with open("/tmp/fused_args.pkl", "wb") as f:
+with open("/tmp/fused_args_v2.pkl", "wb") as f:
     pickle.dump(
         {
+            "image": captured["image"],
             "pyr_prev": captured["pyr_prev"],
-            "pyr_cur": captured["pyr_cur"],
             "args": captured["args"],
             "kwargs": captured["kwargs"],
         },
         f,
     )
-print("captured frontend_step call #6 ->", "/tmp/fused_args.pkl")
+print("captured frontend_step_v2 call #6 ->", "/tmp/fused_args_v2.pkl")

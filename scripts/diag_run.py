@@ -27,19 +27,20 @@ orig_apply = fe_mod.FrontEnd._apply_fused
 frame_stats = {}
 
 
-def apply_hook(self, res, ids, attempted, has_mp, join_ids, frame, prev_kf,
+def apply_hook(self, res, ids, attempted, has_mp, frame, prev_kf,
                time, slam_io=None):
+    per_kp, scalars = res
     frame_stats[frame.id] = {
-        "n_ok": int(np.asarray(res["ok"]).sum()),
-        "n_p3p": int(res["n_p3p"]),
-        "p3p_n_inliers": int(res["p3p_n_inliers"]),
-        "ess_n_inliers": int(res["ess_n_inliers"]),
-        "pnp_err0": float(res["pnp_initial_error"]),
-        "pnp_err1": float(res["pnp_final_error"]),
-        "pnp_n_out": int(res["pnp_n_outliers"]),
-        "med_par": float(res["median_parallax"]),
+        "n_ok": int((per_kp[:, 7] > 0).sum()),
+        "n_p3p": int(scalars[43]),
+        "p3p_n_inliers": int(scalars[44]),
+        "ess_n_inliers": int(scalars[42]),
+        "pnp_err0": float(scalars[45]),
+        "pnp_err1": float(scalars[46]),
+        "pnp_n_out": int(scalars[47]),
+        "med_par": float(scalars[38]),
     }
-    return orig_apply(self, res, ids, attempted, has_mp, join_ids, frame,
+    return orig_apply(self, res, ids, attempted, has_mp, frame,
                       prev_kf, time, slam_io)
 
 

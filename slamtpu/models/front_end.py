@@ -46,8 +46,14 @@ class FrontEnd:
         # bootstraps on the literal first frame id — so a mid-run reset would
         # loop forever; this makes recovery actually work).
         self.needs_bootstrap = False
-        self._intrinsics = jnp.asarray(frame.camera.intrinsics_array())
-        self._distortion = jnp.asarray(frame.camera.distortion_array())
+        self._intrinsics_np = np.asarray(
+            frame.camera.intrinsics_array(), np.float32
+        )
+        self._distortion_np = np.asarray(
+            frame.camera.distortion_array(), np.float32
+        )
+        self._intrinsics = jnp.asarray(self._intrinsics_np)
+        self._distortion = jnp.asarray(self._distortion_np)
         self._pad = lk_pad(params.window_size)
 
     # -- entry (front_end.jl:58-73) -----------------------------------------
@@ -124,57 +130,80 @@ class FrontEnd:
     # ------------------------------------------------------------------
 
     def track_mono_fused(self, image_dev, time: float, slam_io=None) -> bool:
-        with TIMERS.stage("fe.preprocess"):
-            self.preprocess(image_dev)
         frame = self.current_frame
-        if frame.id == 1 or self.needs_bootstrap:
-            self.needs_bootstrap = False
-            frame.set_wc(frame.wc, slam_io)
-            return True
 
+        # Decide whether this frame runs the fused single-program path (one
+        # dispatch incl. the pyramid build) or the legacy split path.
+        fused_ready = (
+            self.params.vision_initialized
+            and self.current_pyramid is not None
+            and frame.id != 1
+            and not self.needs_bootstrap
+            and self.map_manager.frames_map.get(frame.kfid) is not None
+        )
+
+        if not fused_ready:
+            with TIMERS.stage("fe.preprocess"):
+                self.preprocess(image_dev)
+            if frame.id == 1 or self.needs_bootstrap:
+                self.needs_bootstrap = False
+                frame.set_wc(frame.wc, slam_io)
+                return True
+
+            new_pose = self.motion_model.predict(frame.wc, time)
+            frame.set_wc(new_pose, slam_io)
+
+            if self.previous_pyramid is None:
+                # First frame after a checkpoint resume: no previous pyramid
+                # to track against; tracking restarts next frame.
+                return False
+
+            if not self.params.vision_initialized:
+                # Pre-init: unfused KLT + init logic (rare frames).
+                with TIMERS.stage("fe.klt"):
+                    self.klt_tracking()
+                if frame.nb_keypoints < 50:
+                    log.warning("[FE] NB KP < 50. Reset required.")
+                    self.params.reset_required = True
+                    return False
+                if self.params.stereo and frame.nb_3d_kpts >= 30:
+                    log.debug("[FE] Stereo fast initialization.")
+                    self.params.vision_initialized = True
+                    return True  # becomes a keyframe; tracking resumes fused
+                if self.check_ready_for_init(slam_io):
+                    log.debug("[FE] System ready for initialization.")
+                    self.params.vision_initialized = True
+                    return True
+                return False
+            # vision initialized but no previous keyframe: nothing to do.
+            return False
+
+        prev_kf = self.map_manager.frames_map[frame.kfid]
         new_pose = self.motion_model.predict(frame.wc, time)
         frame.set_wc(new_pose, slam_io)
 
-        if self.previous_pyramid is None:
-            # First frame after a checkpoint resume: no previous pyramid to
-            # track against; tracking restarts next frame.
-            return False
-
-        if not self.params.vision_initialized:
-            # Pre-init: unfused KLT + init logic (rare frames).
-            with TIMERS.stage("fe.klt"):
-                self.klt_tracking()
-            if frame.nb_keypoints < 50:
-                log.warning("[FE] NB KP < 50. Reset required.")
-                self.params.reset_required = True
-                return False
-            if self.params.stereo and frame.nb_3d_kpts >= 30:
-                log.debug("[FE] Stereo fast initialization.")
-                self.params.vision_initialized = True
-                return True  # becomes a keyframe; tracking resumes fused
-            if self.check_ready_for_init(slam_io):
-                log.debug("[FE] System ready for initialization.")
-                self.params.vision_initialized = True
-                return True
-            return False
-
-        prev_kf = self.map_manager.frames_map.get(frame.kfid)
-        if prev_kf is None:
-            return False
-
         with TIMERS.stage("fe.fused"):
-            res, ids, attempted, has_mp, join_ids = self._dispatch_fused(
-                frame, prev_kf
+            res, ids, attempted, has_mp = self._dispatch_fused(
+                image_dev, frame, prev_kf
             )
         with TIMERS.stage("fe.apply"):
             kf_required = self._apply_fused(
-                res, ids, attempted, has_mp, join_ids, frame, prev_kf,
-                time, slam_io,
+                res, ids, attempted, has_mp, frame, prev_kf, time, slam_io,
             )
         return kf_required
 
-    def _dispatch_fused(self, frame: Frame, prev_kf: Frame):
-        from ..ops.frontend_step import frontend_step
+    def _dispatch_fused(self, image_dev, frame: Frame, prev_kf: Frame):
+        from ..ops.frontend_step import (
+            FL_HAS_MP,
+            FL_PRIOR,
+            FL_VALID,
+            PK_DISP,
+            PK_MP,
+            PK_PREV_BEAR,
+            PK_PREV_UND,
+            PK_PX,
+            frontend_step_v2,
+        )
 
         _t_assemble = TIMERS.stage("fe.fused.assemble")
         _t_assemble.__enter__()
@@ -183,124 +212,105 @@ class FrontEnd:
         mm = self.map_manager
         scale3d = 0.5  # 1 / 2^pyramid_levels_3d (map_manager.jl:458,466)
 
-        ids, px, is3d_prior, disp, mp_pos, has_mp, attempted = (
-            [], [], [], [], [], [], []
-        )
+        packed = np.zeros((cap, 11), np.float32)
+        flags = np.zeros((cap,), np.int32)
+        join_idx = np.full((cap,), -1, np.int32)
+
+        ids, attempted, has_mp = [], [], []
+        i = 0
         for kp in list(frame.keypoints.values()):
             mp = mm.map_points.get(kp.id) if kp.is_3d else None
             if kp.is_3d and mp is None:
                 mm.remove_mappoint_obs(kp.id, frame.kfid)
                 continue
+            if i >= cap:
+                # Over-capacity keypoints stay untracked this frame (their
+                # observations are preserved; extraction keeps nb_keypoints
+                # near the budget, so this is a pathological-config guard).
+                log.warning("[FE] keypoints exceed capacity %d.", cap)
+                break
             ids.append(kp.id)
-            px.append(kp.pixel)
+            packed[i, PK_PX] = kp.pixel
             if kp.is_3d:
                 position = mp.get_position()
                 projection = frame.project_world_to_image_distort(position)
                 if frame.in_image(projection):
-                    is3d_prior.append(True)
-                    disp.append(scale3d * (projection - kp.pixel))
+                    flags[i] |= FL_VALID | FL_PRIOR
+                    packed[i, PK_DISP] = scale3d * (projection - kp.pixel)
                     attempted.append(True)
                 else:
                     # Untracked this frame (map_manager.jl:500-507).
-                    is3d_prior.append(False)
-                    disp.append(np.zeros(2))
                     attempted.append(False)
-                mp_pos.append(position)
+                packed[i, PK_MP] = position
+                flags[i] |= FL_HAS_MP
                 has_mp.append(True)
             else:
-                is3d_prior.append(False)
-                disp.append(np.zeros(2))
+                flags[i] |= FL_VALID
                 attempted.append(True)
-                mp_pos.append(np.zeros(3))
                 has_mp.append(False)
-
+            i += 1
         n = len(ids)
-        if n > cap:
-            # Over-capacity keypoints stay untracked this frame (their
-            # observations are preserved; extraction keeps nb_keypoints near
-            # the budget, so this is a pathological-config guard).
-            log.warning("[FE] %d keypoints exceed capacity %d.", n, cap)
-            n = cap
-            ids = ids[:n]
-            px = px[:n]
-            is3d_prior = is3d_prior[:n]
-            disp = disp[:n]
-            mp_pos = mp_pos[:n]
-            has_mp = has_mp[:n]
-            attempted = attempted[:n]
-        id_to_slot = {kpid: i for i, kpid in enumerate(ids)}
+        id_to_slot = {kpid: j for j, kpid in enumerate(ids)}
 
-        join_ids, join_idx, prev_und, prev_bear = [], [], [], []
+        m = 0
         for kpid, pkp in prev_kf.keypoints.items():
             slot = id_to_slot.get(kpid)
             if slot is None or not attempted[slot]:
                 continue
-            if len(join_ids) >= cap:
+            if m >= cap:
                 break
-            join_ids.append(kpid)
-            join_idx.append(slot)
-            prev_und.append(pkp.undistorted_pixel[::-1])
-            prev_bear.append(pkp.position[:2])
-        m = len(join_ids)
+            join_idx[m] = slot
+            packed[m, PK_PREV_UND] = pkp.undistorted_pixel[::-1]
+            packed[m, PK_PREV_BEAR] = pkp.position[:2]
+            m += 1
 
-        valid_n = valid_mask(n, cap)
-        attempted_arr = np.zeros((cap,), bool)
-        attempted_arr[:n] = attempted
         R_comp = (prev_kf.get_Rcw() @ frame.get_Rwc()).astype(np.float32)
         theta_pred = hm.pose_to_theta(frame.cw).astype(np.float32)
+        misc = np.concatenate([
+            R_comp.reshape(9),
+            theta_pred,
+            np.asarray(self._intrinsics_np, np.float32),
+            np.asarray(self._distortion_np, np.float32),
+        ]).astype(np.float32)
 
         _t_assemble.__exit__(None, None, None)
         with TIMERS.stage("fe.fused.dispatch"):
-            res = frontend_step(
-                    self.previous_pyramid, self.current_pyramid,
-                jnp.asarray(pad_rows(px, cap, np.float32) if n else
-                            np.zeros((cap, 2), np.float32)),
-                jnp.asarray(valid_n & attempted_arr),
-                jnp.asarray(pad_rows(np.asarray(is3d_prior, bool), cap)
-                            if n else np.zeros((cap,), bool)),
-                jnp.asarray(pad_rows(disp, cap, np.float32) if n else
-                            np.zeros((cap, 2), np.float32)),
-                jnp.asarray(pad_rows(mp_pos, cap, np.float32) if n else
-                            np.zeros((cap, 3), np.float32)),
-                jnp.asarray(pad_rows(np.asarray(has_mp, bool), cap)
-                            if n else np.zeros((cap,), bool)),
-                jnp.asarray(pad_rows(np.asarray(join_idx, np.int32), cap)
-                            if m else np.zeros((cap,), np.int32)),
-                jnp.asarray(valid_mask(m, cap)),
-                jnp.asarray(pad_rows(prev_und, cap, np.float32) if m else
-                            np.zeros((cap, 2), np.float32)),
-                jnp.asarray(pad_rows(prev_bear, cap, np.float32) if m else
-                            np.zeros((cap, 2), np.float32)),
-                jnp.asarray(R_comp),
-                jnp.asarray(theta_pred),
-                self._intrinsics,
-                self._distortion,
+            per_kp, scalars, pyr_cur = frontend_step_v2(
+                image_dev, self.current_pyramid,
+                jnp.asarray(packed), jnp.asarray(flags),
+                jnp.asarray(join_idx), jnp.asarray(misc),
                 self._ransac_key(2),
                 levels=p.pyramid_levels, window=p.window_size,
                 iters=p.lk_iterations, eps=p.lk_epsilon,
                 eig_thresh=p.lk_eigenvalue_threshold, pad=self._pad,
                 max_fb_distance=p.max_ktl_distance,
                 essential_hypotheses=p.ransac_essential_hypotheses,
-                    pnp_hypotheses=p.ransac_pnp_hypotheses,
+                pnp_hypotheses=p.ransac_pnp_hypotheses,
                 threshold=p.max_reprojection_error,
                 min_active=p.lk_min_active,
+                sigma=p.pyramid_sigma,
             )
+        # Rotate the device-resident pyramid double buffer (the current
+        # frame's pyramid never leaves the device).
+        self.previous_pyramid = self.current_pyramid
+        self.current_pyramid = pyr_cur
+        self.current_image_dev = image_dev
         with TIMERS.stage("fe.fused.fetch"):
-            res = jax.device_get(res)  # the ONE round trip for this frame
-        return res, ids, attempted, has_mp, join_ids
+            res = jax.device_get((per_kp, scalars))
+        return res, ids, attempted, has_mp
 
-    def _apply_fused(self, res, ids, attempted, has_mp, join_ids,
+    def _apply_fused(self, res, ids, attempted, has_mp,
                      frame: Frame, prev_kf: Frame, time: float,
                      slam_io=None) -> bool:
-        p = self.params
+        per_kp, scalars = res
         mm = self.map_manager
         n = len(ids)
 
         # 1. KLT keypoint updates/removals (map_manager.jl:524-562).
-        ok = res["ok"][:n]
-        new_px = res["new_px"][:n]
-        und_px = res["und_px"][:n]
-        bearings = res["bearings"][:n]
+        ok = per_kp[:n, 7] > 0
+        new_px = per_kp[:n, 0:2]
+        und_px = per_kp[:n, 2:4]
+        bearings = per_kp[:n, 4:7]
         for i, kpid in enumerate(ids):
             if not attempted[i]:
                 continue
@@ -313,13 +323,13 @@ class FrontEnd:
 
         # 2. Essential epipolar outlier removal + 5pt fallback pose
         #    (front_end.jl:102-109,315-330).
-        pose_5pt = None
-        if res["ess_gate"]:
-            ess_out = res["ess_outlier"][:n]
+        ess_gate = scalars[41] > 0
+        ess_out = per_kp[:n, 8] > 0
+        if ess_gate:
             for i, kpid in enumerate(ids):
                 if ess_out[i]:
                     mm.remove_obs_from_current_frame(kpid)
-            P = np.asarray(res["ess_pose"], np.float64)
+            P = np.asarray(scalars[0:16], np.float64).reshape(4, 4)
             prev_cw = prev_kf.cw
             current = prev_cw @ frame.wc
             scale = float(np.linalg.norm(current[:3, 3]))
@@ -332,43 +342,42 @@ class FrontEnd:
                 frame.set_cw(pose_5pt, slam_io)
 
         # 3. P3P + PnP refinement application (front_end.jl:168-218).
-        n_p3p = int(res["n_p3p"])
+        n_p3p = int(scalars[43])
         if n_p3p < 5:
             log.warning("[FE] Not enough 3D keypoints to compute P3P %d.",
                         n_p3p)
-        elif int(res["p3p_n_inliers"]) < 5:
+        elif int(scalars[44]) < 5:
             log.warning("[FE] P3P too few inliers - resetting!")
             self.reset_frame()
         else:
-            p3p_in = res["p3p_inliers"][:n]
+            p3p_in = per_kp[:n, 9] > 0
             # The kernel's P3P candidate set: tracked 3D points that are not
             # epipolar outliers (mirrors front_end.jl:144-155,184-185).
-            ess_out = res["ess_outlier"][:n]
             has_mp_ok = (
-                ok & np.asarray(has_mp, bool)
-                & ~(ess_out & bool(res["ess_gate"]))
+                ok & np.asarray(has_mp, bool) & ~(ess_out & bool(ess_gate))
             )
             for i, kpid in enumerate(ids):
                 if has_mp_ok[i] and not p3p_in[i]:
                     mm.remove_obs_from_current_frame(kpid)
 
-            frame.set_cw(np.asarray(res["p3p_cw"], np.float64), slam_io)
+            frame.set_cw(
+                np.asarray(scalars[16:32], np.float64).reshape(4, 4),
+                slam_io,
+            )
 
-            n_inl = int(res["p3p_n_inliers"])
-            n_out = int(res["pnp_n_outliers"])
-            if (n_inl - n_out < 5
-                    or float(res["pnp_final_error"])
-                    > float(res["pnp_initial_error"])):
+            n_inl = int(scalars[44])
+            n_out = int(scalars[47])
+            if n_inl - n_out < 5 or float(scalars[46]) > float(scalars[45]):
                 log.warning("[FE] P3P BA too few inliers - resetting!")
                 self.reset_frame()
             else:
-                pnp_out = res["pnp_outliers"][:n]
+                pnp_out = per_kp[:n, 10] > 0
                 for i, kpid in enumerate(ids):
                     if has_mp_ok[i] and p3p_in[i] and pnp_out[i]:
                         mm.remove_obs_from_current_frame(kpid)
                 frame.set_cw(
                     hm.theta_to_pose(
-                        np.asarray(res["pnp_theta"], np.float64)
+                        np.asarray(scalars[32:38], np.float64)
                     ),
                     slam_io,
                 )
@@ -376,7 +385,7 @@ class FrontEnd:
         # 4. Motion model + keyframe decision (front_end.jl:116-117).
         self.motion_model.update(frame.wc, time)
         return self.check_new_kf_required(
-            median_parallax=float(res["median_parallax"])
+            median_parallax=float(scalars[38])
         )
 
     # -- P3P + refinement (front_end.jl:132-219) ----------------------------

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .se3 import rot_zyx
+from .smallalg import inv3x3, solve_psd
 
 
 def _residual_one(pose_theta, point, px_yx, intrinsics):
@@ -113,7 +114,7 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
         eyeX = jnp.eye(3, dtype=jnp.float32)
         U_d = U + lam * U * eyeP + 1e-8 * eyeP
         V_d = V + lam * V * eyeX + 1e-8 * eyeX
-        V_inv = jnp.linalg.inv(V_d)
+        V_inv, _ = inv3x3(V_d)  # batched closed form (smallalg.py)
 
         # Reduced camera system S dp = rhs.
         S = jax.scipy.linalg.block_diag(*[U_d[i] for i in range(P)])
@@ -125,7 +126,9 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
             + jnp.diag(1.0 - free_flat)
         )
         rhs = rhs * free_flat
-        dp = jnp.linalg.solve(S, rhs)
+        # S is SPD (damped Schur complement; constant poses get identity
+        # rows) — unrolled batched Cholesky beats the LAPACK-style lowering.
+        dp = solve_psd(S, rhs)
 
         dx = jnp.einsum(
             "xbc,xc->xb", V_inv, -g_x - jnp.einsum("xab,a->xb", B, dp)

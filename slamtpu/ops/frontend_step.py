@@ -54,15 +54,29 @@ def _undistort_backproject(px_yx, intrinsics, dist):
     return und_px, bearings
 
 
-def _masked_median(values, mask):
-    """Median over masked entries (sorting with +inf padding)."""
+def _masked_median(values, mask, iters: int = 24):
+    """Median over masked entries via bisection on the value range.
+
+    A device sort costs ~3-4 ms at this batch size; `iters` halvings of the
+    bracketing interval give the median to (range / 2^iters) — far below a
+    pixel of parallax — with `iters` cheap counting passes.
+    """
     n = jnp.sum(mask)
-    vals = jnp.where(mask, values, jnp.inf)
-    s = jnp.sort(vals)
-    lo = jnp.clip((n - 1) // 2, 0, values.shape[0] - 1)
-    hi = jnp.clip(n // 2, 0, values.shape[0] - 1)
-    med = 0.5 * (s[lo] + s[hi])
-    return jnp.where(n > 0, med, 0.0)
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    lo = jnp.min(jnp.where(mask, values, big))
+    hi = jnp.max(jnp.where(mask, values, -big))
+    half = (n + 1) // 2  # rank of the lower median
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        below = jnp.sum(mask & (values <= mid))
+        lo = jnp.where(below < half, mid, lo)
+        hi = jnp.where(below < half, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return jnp.where(n > 0, 0.5 * (lo + hi), 0.0)
 
 
 @functools.partial(
@@ -139,16 +153,15 @@ def frontend_step(
     n_par = jnp.sum(j_ok)
     mean_parallax = jnp.sum(jnp.where(j_ok, par, 0.0)) / jnp.maximum(n_par, 1)
 
-    # RANSAC samples indices in [0, n): compact valid join entries first.
-    j_order = jnp.argsort(~j_ok)
-    j_inv = jnp.argsort(j_order)
+    # RANSAC sampling is mask-driven (Gumbel-max in mvg.py) — no argsort
+    # compaction (device sorts cost ~3-4 ms each).
     ess = essential_ransac(
-        prev_bearing_xy[j_order], cur_bear[j_order][:, :2],
-        prev_und_xy[j_order], cur_und[j_order][:, ::-1],
-        j_ok[j_order], jnp.maximum(n_par, 1), intrinsics, key,
+        prev_bearing_xy, cur_bear[:, :2],
+        prev_und_xy, cur_und[:, ::-1],
+        j_ok, jnp.maximum(n_par, 1), intrinsics, key,
         hypotheses=essential_hypotheses, threshold=threshold,
     )
-    ess_inliers = ess["inliers"][j_inv]
+    ess_inliers = ess["inliers"]
     ess_gate = (n_par >= 8) & (mean_parallax >= min_parallax_5pt) & (
         ess["n_inliers"] >= 5
     )
@@ -165,16 +178,13 @@ def frontend_step(
     p3p_mask = ok & has_mp & ~ess_outlier
     n_p3p = jnp.sum(p3p_mask)
     bear_unit = bearings / jnp.linalg.norm(bearings, axis=-1, keepdims=True)
-    # Compact valid entries to the front for hypothesis sampling.
-    order = jnp.argsort(~p3p_mask)  # valid first (stable)
     key_p3p = jax.random.fold_in(key, 1)
     p3p = p3p_ransac(
-        mp_pos[order], und_px[order][:, ::-1], bear_unit[order],
-        p3p_mask[order], jnp.maximum(n_p3p, 1), intrinsics, key_p3p,
+        mp_pos, und_px[:, ::-1], bear_unit,
+        p3p_mask, jnp.maximum(n_p3p, 1), intrinsics, key_p3p,
         hypotheses=pnp_hypotheses, threshold=threshold,
     )
-    inv_order = jnp.argsort(order)
-    p3p_inliers = p3p["inliers"][inv_order]
+    p3p_inliers = p3p["inliers"]
 
     # ---- 5. PnP LM refinement on the inliers (front_end.jl:202-206). -------
     theta0 = rot_to_zyx(p3p["cw"][:3, :3])
@@ -225,3 +235,115 @@ def frontend_step(
         "pnp_n_outliers": ref["n_outliers"],
         "median_parallax": median_parallax,
     }
+
+
+# ---------------------------------------------------------------------------
+# v2: single-program frame step with in-program pyramid build and packed
+# host<->device payloads (each RPC on the tunnel-attached device costs
+# ~26 ms of latency; v1 paid a separate pyramid dispatch plus 15 uploads
+# and a 20-leaf fetch per frame).
+# ---------------------------------------------------------------------------
+
+# Column layout of the packed (cap, 11) f32 keypoint-state upload.
+PK_PX = slice(0, 2)          # current pixel (y, x)
+PK_DISP = slice(2, 4)        # 3D projection prior displacement
+PK_MP = slice(4, 7)          # map-point world position
+PK_PREV_UND = slice(7, 9)    # prev-KF undistorted pixel (x, y), join rows
+PK_PREV_BEAR = slice(9, 11)  # prev-KF normalized coords (x, y), join rows
+# Bit layout of the packed (cap,) int32 flags upload.
+FL_VALID = 1        # tracked this frame (valid & attempted)
+FL_PRIOR = 2        # track with 3D projection prior
+FL_HAS_MP = 4       # has a live map point (feeds P3P)
+# misc f32 vector layout: R_comp (9) | theta_pred (6) | intrinsics (4) |
+# distortion (4).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "window", "iters", "eps", "eig_thresh", "pad",
+        "max_fb_distance", "essential_hypotheses", "pnp_hypotheses",
+        "threshold", "min_parallax_5pt", "min_active", "sigma",
+    ),
+)
+def frontend_step_v2(
+    image,          # (H, W) f32 current frame
+    pyr_prev,       # previous frame's pyramid pytree (device-resident)
+    packed,         # (N, 11) f32 — see PK_* layout
+    flags,          # (N,) int32 — see FL_* bits
+    join_idx,       # (N,) int32, -1 = invalid join row
+    misc,           # (23,) f32 — R_comp | theta_pred | intrinsics | dist
+    key,
+    *,
+    levels: int, window: int, iters: int = 30, eps: float = 1e-2,
+    eig_thresh: float = 1e-4, pad: int = 11, max_fb_distance: float = 1.0,
+    essential_hypotheses: int = 256, pnp_hypotheses: int = 256,
+    threshold: float = 3.0, min_parallax_5pt: float = 5.0,
+    min_active: int = 0, sigma: float = 1.0,
+):
+    """One device program per tracked frame: pyramid + KLT + epipolar filter
+    + P3P + PnP + keyframe parallax. Returns (packed results, pyr_cur);
+    pyr_cur is NOT fetched — the host feeds it back as the next frame's
+    pyr_prev (device-resident double buffering, reference front_end.jl:454).
+    """
+    from .image import lk_pyramid_impl
+
+    pyr_cur = lk_pyramid_impl(image, levels=levels, sigma=sigma, pad=pad)
+
+    res = frontend_step(
+        pyr_prev, pyr_cur,
+        packed[:, PK_PX],
+        (flags & FL_VALID) > 0,
+        (flags & FL_PRIOR) > 0,
+        packed[:, PK_DISP],
+        packed[:, PK_MP],
+        (flags & FL_HAS_MP) > 0,
+        jnp.maximum(join_idx, 0),
+        join_idx >= 0,
+        packed[:, PK_PREV_UND],
+        packed[:, PK_PREV_BEAR],
+        misc[0:9].reshape(3, 3),
+        misc[9:15],
+        misc[15:19],
+        misc[19:23],
+        key,
+        levels=levels, window=window, iters=iters, eps=eps,
+        eig_thresh=eig_thresh, pad=pad, max_fb_distance=max_fb_distance,
+        essential_hypotheses=essential_hypotheses,
+        pnp_hypotheses=pnp_hypotheses, threshold=threshold,
+        min_parallax_5pt=min_parallax_5pt, min_active=min_active,
+    )
+
+    # Pack per-keypoint outputs into one (N, 11) fetch + one scalar vector.
+    per_kp = jnp.concatenate(
+        [
+            res["new_px"],                                    # 0:2
+            res["und_px"],                                    # 2:4
+            res["bearings"],                                  # 4:7
+            res["ok"][:, None].astype(jnp.float32),           # 7
+            res["ess_outlier"][:, None].astype(jnp.float32),  # 8
+            res["p3p_inliers"][:, None].astype(jnp.float32),  # 9
+            res["pnp_outliers"][:, None].astype(jnp.float32),  # 10
+        ],
+        axis=-1,
+    )
+    scalars = jnp.concatenate(
+        [
+            res["ess_pose"].reshape(16),                      # 0:16
+            res["p3p_cw"].reshape(16),                        # 16:32
+            res["pnp_theta"],                                 # 32:38
+            jnp.stack([
+                res["median_parallax"],                       # 38
+                res["mean_parallax"],                         # 39
+                res["n_parallax"].astype(jnp.float32),        # 40
+                res["ess_gate"].astype(jnp.float32),          # 41
+                res["ess_n_inliers"].astype(jnp.float32),     # 42
+                res["n_p3p"].astype(jnp.float32),             # 43
+                res["p3p_n_inliers"].astype(jnp.float32),     # 44
+                res["pnp_initial_error"],                     # 45
+                res["pnp_final_error"],                       # 46
+                res["pnp_n_outliers"].astype(jnp.float32),    # 47
+            ]),
+        ]
+    )
+    return per_kp, scalars, pyr_cur

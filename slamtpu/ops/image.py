@@ -87,17 +87,11 @@ def pyramid_shapes(height: int, width: int, levels: int):
     return shapes
 
 
-@functools.partial(
-    jax.jit, static_argnames=("levels", "sigma", "pad", "product_sigma")
-)
-def build_lk_pyramid(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
-                     product_sigma: float = 4.0):
-    """Image (H, W) float32 in [0, 1] -> LK pyramid pytree.
-
-    One fused XLA program per image; mirrors reference LKPyramid
-    (pyramid.jl:40-79): Gaussian pyramid, Scharr gradients, and
-    sigma=4-smoothed gradient products per level.
-    """
+def lk_pyramid_impl(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
+                    product_sigma: float = 4.0):
+    """Unjitted pyramid builder — callable from inside larger fused programs
+    (e.g. ops/frontend_step.py builds the current frame's pyramid in the
+    same program as the tracking step, saving a dispatch round trip)."""
     image = image.astype(jnp.float32)
     out = []
     current = image
@@ -129,6 +123,23 @@ def build_lk_pyramid(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
         }
         out.append(padded)
     return tuple(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "sigma", "pad", "product_sigma")
+)
+def build_lk_pyramid(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
+                     product_sigma: float = 4.0):
+    """Image (H, W) float32 in [0, 1] -> LK pyramid pytree.
+
+    One fused XLA program per image; mirrors reference LKPyramid
+    (pyramid.jl:40-79): Gaussian pyramid, Scharr gradients, and
+    sigma=4-smoothed gradient products per level.
+    """
+    return lk_pyramid_impl(
+        image, levels=levels, sigma=sigma, pad=pad,
+        product_sigma=product_sigma,
+    )
 
 
 def pyramid_level_shape(level: dict, pad: int):

@@ -70,7 +70,8 @@ def _gather_window(img, start_yx, size):
 
 
 def _lk_level(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
-              eig_thresh, pad, min_active: int = 0):
+              eig_thresh, pad, min_active: int = 0,
+              escape_fail: bool = False):
     """One pyramid level for all N points.
 
     p_lvl: (N, 2) int32 integer level coordinates (y, x).
@@ -209,7 +210,8 @@ def lk_pad(window: int) -> int:
 
 
 def _lk_level_patch(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
-                    eig_thresh, pad, min_active: int = 0):
+                    eig_thresh, pad, min_active: int = 0,
+                    escape_fail: bool = False):
     """Patch-cached variant of _lk_level (same contract and semantics).
 
     The per-iteration bilinear sample of the second image reads from a
@@ -356,7 +358,8 @@ def _lk_level_patch(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
 
 
 def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
-                          eps, eig_thresh, pad, min_active: int = 0):
+                          eps, eig_thresh, pad, min_active: int = 0,
+                          escape_fail: bool = False):
     """Lane-major variant of _lk_level_patch (same contract and semantics).
 
     All (window x window) per-point arrays are laid out (T, T, N) instead of
@@ -440,7 +443,19 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
         return out
 
     q0 = p_f + flow
-    patch0, base0 = gather_patches(jnp.where(in_bounds(q0)[:, None], q0, p_f))
+    q0_safe = jnp.where(in_bounds(q0)[:, None], q0, p_f)
+    patch0, base0 = gather_patches(q0_safe)
+
+    # Mask + structure tensor hoisted out of the solver loop: the reference
+    # computes them once per level and re-clamps only when the window hits
+    # the image border mid-iteration (lucas_kanade.jl:58-72, "Recalculate
+    # gradient only if the offset changes") — interior points, i.e. nearly
+    # all of them, never trigger that path. We clamp once at the level's
+    # entry correspondence; a border-drifting point keeps its entry-clamped
+    # G and mask for the remainder of the level.
+    mask = window_mask(q0_safe)
+    ia, ib, ic, min_eig = structure_tensor(mask)
+    eig_ok = min_eig >= eig_thresh
 
     def body(carry):
         it, flow, running, ok, patch, base = carry
@@ -449,21 +464,25 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
         fail = running & ~inb
 
         q_safe = jnp.where(inb[:, None], q, p_f)
-        mask = window_mask(q_safe)
-        ia, ib, ic, min_eig = structure_tensor(mask)
-        fail = fail | (running & (min_eig < eig_thresh))
-
         q_floor = jnp.floor(q_safe)
         frac = q_safe - q_floor
         rel = q_floor.astype(jnp.int32) - w + pad - base
-        # A point that drifts past the patch margin fails: no conditional
-        # re-gather (a cond whose branch gathers serializes the while_loop
-        # at ~0.9 ms/iteration). Its flow never updates from clamped data.
+        # A point that drifts past the patch margin FREEZES (keeps its last
+        # in-margin flow, stays ok) instead of failing: there is no
+        # conditional re-gather (a cond whose branch gathers serializes the
+        # while_loop at ~0.9 ms/iteration), and the forward-backward check
+        # decides survival from the frozen estimate. Freezing dominates the
+        # round-1 hard-fail (which killed ~25% of fast-moving points and
+        # doubled the keyframe cadence). EXCEPTION (escape_fail=True): in the
+        # BACKWARD fb pass the flow starts at -flow_forward, so a frozen
+        # point reports a ~zero round trip and would spuriously PASS the
+        # check — exactly the mis-tracked points the check exists to kill.
         escaped = (
             (rel[:, 0] < 0) | (rel[:, 0] > 2 * R)
             | (rel[:, 1] < 0) | (rel[:, 1] > 2 * R)
         )
-        fail = fail | (running & escaped)
+        if escape_fail:
+            fail = fail | (running & escaped)
         rel = jnp.clip(rel, 0, 2 * R)
 
         big = select_window(patch, rel)  # (T+1, T+1, N)
@@ -486,12 +505,13 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
         new_flow = flow + jnp.stack([step_y, step_x], axis=-1)
         fail = fail | (running & ~converged & ~in_bounds(p_f + new_flow))
 
-        advance = running & ~fail & ~converged
+        advance = running & ~fail & ~converged & ~escaped
         flow = jnp.where(advance[:, None], new_flow, flow)
         ok = ok & ~fail
-        running = running & ok & ~converged
+        running = running & ok & ~converged & ~escaped
         return it + 1, flow, running, ok, patch, base
 
+    ok = ok & eig_ok
     stop_thresh = jnp.minimum(min_active, jnp.sum(ok) // 32)
 
     def cond(carry):
@@ -532,7 +552,7 @@ def _select_level_fn(pad: int, window: int, has_stack: bool):
 
 def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
             iters, eps, eig_thresh, pad, use_pallas=None,
-            min_active: int = 0):
+            min_active: int = 0, escape_fail: bool = False):
     """Pyramidal LK for N points (reference optflow!, lucas_kanade.jl:9-100).
 
     points: (N, 2) f32 full-resolution (y, x).
@@ -573,7 +593,7 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
                 return level_fn(
                     d1, d2, p_lvl, f, o, hw=hw, window=window, iters=iters,
                     eps=eps, eig_thresh=eig_thresh, pad=pad,
-                    min_active=min_active,
+                    min_active=min_active, escape_fail=escape_fail,
                 )
 
             flow, ok = jax.lax.cond(
@@ -612,6 +632,7 @@ def fb_track(pyr_prev, pyr_cur, points, displacement, valid, *, levels,
         pyr_cur, pyr_prev, new_points, -flow_f, status,
         levels=0, window=window, iters=iters, eps=eps,
         eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+        escape_fail=True,
     )
     round_trip = new_points + flow_b
     dist = jnp.linalg.norm(points - round_trip, axis=-1)
@@ -666,6 +687,7 @@ def merged_fb(pyr_prev, pyr_cur, px, plain_mask, prior_mask, disp_prior, *,
             pyr_cur, pyr_prev, px + flow_f, -flow_f, st,
             levels=0, window=window, iters=iters, eps=eps,
             eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+            escape_fail=True,
         )
         dist_fb = jnp.linalg.norm(flow_f + flow_b, axis=-1)
         return st & bst & (dist_fb < max_fb_distance)
@@ -729,6 +751,7 @@ def fb_shadow(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
         pyr_cur, pyr_prev, px2 + flow, -flow, ok2,
         levels=0, window=window, iters=iters, eps=eps,
         eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+        escape_fail=True,
     )
     dist_fb = jnp.linalg.norm(flow + flow_b, axis=-1)
     okfb = ok2 & bst & (dist_fb < max_distance)

@@ -6,11 +6,17 @@ call sites: reference front_end.jl:305, mapper.jl:162,242). Design:
   - RANSAC evaluates ALL hypotheses in parallel (hypothesis axis x point
     axis) instead of sequential sampling — accuracy parity with the
     reference, not bitwise (SURVEY.md section 7 "hard parts").
-  - The minimal solver is the normalized 8-point algorithm (batched SVD on
-    the MXU) rather than Nister's 5-point; with the dense tracked
-    correspondences this pipeline feeds (hundreds of inliers) the essential
-    estimate is equivalent at trajectory level. Scoring uses the Sampson
-    distance in pixels with the same threshold (max_reprojection_error).
+  - The minimal solver is the normalized 8-point algorithm; with the dense
+    tracked correspondences this pipeline feeds (hundreds of inliers) the
+    essential estimate is equivalent at trajectory level. Scoring uses the
+    Sampson distance in pixels with the same threshold
+    (max_reprojection_error).
+  - Hypothesis sampling draws directly from the valid mask via Gumbel-max
+    (no argsort compaction — device sorts cost ~3-4 ms each).
+  - All small-matrix decompositions (the reference reaches LAPACK GEEV via
+    RecoverPose's GEEV4x4Cache) run as fixed-iteration batched arithmetic
+    (ops/smallalg.py) — jnp.linalg.svd on tiny batched systems serializes
+    ~100x off the roofline on TPU.
   - Cheirality resolution triangulates every candidate inlier against the 4
     (R, t) decompositions as one batched DLT solve.
 
@@ -23,6 +29,21 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .smallalg import polar_rotation3x3, smallest_eigvec_psd
+
+
+def sample_valid_indices(key, valid, shape):
+    """Uniform samples from the True entries of `valid` via Gumbel-max.
+
+    valid: (N,) bool. Returns int32 indices of the requested shape. Each
+    draw is an independent argmax over perturbed logits, so duplicates
+    within a hypothesis are possible — matching `randint`-over-compacted
+    sampling, which the degenerate-hypothesis scoring already tolerates.
+    """
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, shape + valid.shape, dtype=jnp.float32)
+    return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
 
 
 def triangulate_points(px1, px2, P1, P2):
@@ -45,8 +66,14 @@ def triangulate_points(px1, px2, P1, P2):
         y2 * P2[:, 2] - P2[:, 1],
     ]
     A = jnp.stack(rows, axis=1)  # (N, 4, 4)
-    _, _, vh = jnp.linalg.svd(A)
-    return vh[:, -1, :]
+    # Row-normalize for conditioning, then take the least-squares null
+    # vector of A^T A (the unit singular vector the reference obtains via
+    # its 4x4 eigendecomposition).
+    A = A / jnp.maximum(
+        jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12
+    )
+    M = jnp.einsum("nij,nik->njk", A, A)
+    return smallest_eigvec_psd(M)
 
 
 def _sampson_px(F, px1, px2):
@@ -69,12 +96,18 @@ def _essential_from_8pt(pd1, pd2):
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (M, 8, 9)
-    _, _, vh = jnp.linalg.svd(A)
-    E0 = vh[:, -1, :].reshape(-1, 3, 3)
-    # Project onto the essential manifold: singular values (1, 1, 0).
-    u, _, vt = jnp.linalg.svd(E0)
-    d = jnp.zeros_like(E0).at[:, 0, 0].set(1.0).at[:, 1, 1].set(1.0)
-    return u @ d @ vt
+    M9 = jnp.einsum("mij,mik->mjk", A, A)
+    e = smallest_eigvec_psd(M9)           # (M, 9)
+    E0 = e.reshape(-1, 3, 3)
+    # Rank-2 projection: E - s3 u3 v3^T = E (I - v3 v3^T), with v3 the
+    # smallest right singular vector (null direction of E^T E). Scoring is
+    # scale-invariant, so the (1, 1, 0) singular-value normalization is
+    # deferred to pose recovery of the winning hypothesis.
+    S = jnp.einsum("mji,mjk->mik", E0, E0)
+    v3 = smallest_eigvec_psd(S)           # (M, 3)
+    return E0 - jnp.einsum(
+        "mij,mj,mk->mik", E0, v3, v3
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("hypotheses", "threshold"))
@@ -84,15 +117,16 @@ def essential_ransac(pd_prev, pd_cur, px_prev, px_cur, valid, n, intrinsics,
 
     pd_prev/pd_cur: (N, 2) normalized (x, y) correspondences (prev/cur).
     px_prev/px_cur: (N, 2) undistorted pixel (x, y) coordinates for scoring.
-    valid: (N,) bool; n: scalar int (number of valid entries, compacted at
-        the front); intrinsics: (4,) (fx, fy, cx, cy); key: PRNG key.
+    valid: (N,) bool; n: scalar int (number of valid entries — kept for API
+        compatibility, sampling uses `valid` directly);
+    intrinsics: (4,) (fx, fy, cx, cy); key: PRNG key.
 
     Returns dict with E (3, 3), pose (4, 4) prev->cur ([R|t], unit t),
     inliers (N,) bool, n_inliers scalar.
     """
-    N = pd_prev.shape[0]
+    del n  # sampling is mask-driven
     M = hypotheses
-    idx = jax.random.randint(key, (M, 8), 0, jnp.maximum(n, 1))
+    idx = sample_valid_indices(key, valid, (M, 8))
     E = _essential_from_8pt(pd_prev[idx], pd_cur[idx])  # (M, 3, 3)
 
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
@@ -107,39 +141,84 @@ def essential_ransac(pd_prev, pd_cur, px_prev, px_cur, valid, n, intrinsics,
     inl = (err < threshold) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
-    E_best = E[best]
-    inliers = inl[best]
-    n_inliers = counts[best]
+    inliers0 = inl[best]
 
-    # Pose recovery: 4 decompositions, cheirality vote over inliers.
-    u, _, vt = jnp.linalg.svd(E_best)
-    u = u * jnp.sign(jnp.linalg.det(u))
-    vt = vt * jnp.sign(jnp.linalg.det(vt))
-    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
-                  jnp.float32)
-    R1 = u @ W @ vt
-    R2 = u @ W.T @ vt
-    t = u[:, 2]
+    # Least-squares polish on the winning hypothesis's inliers (all-inlier
+    # 8-point refit), then rescore — tightens the minimal-sample estimate
+    # before pose recovery.
+    x1c, y1c = pd_prev[:, 0], pd_prev[:, 1]
+    x2c, y2c = pd_cur[:, 0], pd_cur[:, 1]
+    Afull = jnp.stack(
+        [x2c * x1c, x2c * y1c, x2c, y2c * x1c, y2c * y1c, y2c, x1c, y1c,
+         jnp.ones_like(x1c)], axis=-1
+    ) * inliers0[:, None].astype(jnp.float32)  # (N, 9)
+    M9 = Afull.T @ Afull
+    e = smallest_eigvec_psd(M9[None])[0]
+    E_ls = e.reshape(3, 3)
+    S_ls = E_ls.T @ E_ls
+    v3 = smallest_eigvec_psd(S_ls[None])[0]
+    E_ls = E_ls - (E_ls @ v3)[:, None] * v3[None, :]
+    F_ls = iK.T @ E_ls @ iK
+    err_ls = _sampson_px(F_ls, px_prev, px_cur)
+    inl_ls = (err_ls < threshold) & valid
+    # Keep the polished model only if it does not lose inliers (guards
+    # against degenerate refits on near-planar inlier sets).
+    use_ls = jnp.sum(inl_ls) >= jnp.sum(inliers0)
+    E_best = jnp.where(use_ls, E_ls, E[best])
+    inliers = jnp.where(use_ls, inl_ls, inliers0)
+    n_inliers = jnp.sum(inliers)
+
+    # Pose recovery: Horn's closed-form decomposition (E = [t]x R =>
+    # |t|^2 R = cof(E) - [t]x E) instead of an SVD: the baseline direction
+    # is the left null vector of E (inverse iteration), the two rotations
+    # come from +-t, and a polar Newton polish absorbs the noise-induced
+    # non-orthogonality (~1e-2 for 8-point estimates). 4 candidate
+    # decompositions, cheirality vote over inliers.
+    En = E_best * jnp.sqrt(2.0) / jnp.maximum(
+        jnp.linalg.norm(E_best), 1e-12
+    )
+    t = smallest_eigvec_psd(En @ En.T)
+
+    def skew(v):
+        z = jnp.zeros_like(v[0])
+        return jnp.array(
+            [[z, -v[2], v[1]], [v[2], z, -v[0]], [-v[1], v[0], z]]
+        )
+
+    # cof(E) computed directly from row cross products (E is rank-2, so an
+    # adjugate-from-inverse route is invalid): cof rows are the cyclic
+    # cross products of E's rows.
+    r0, r1, r2 = En[0], En[1], En[2]
+    cofE = jnp.stack(
+        [jnp.cross(r1, r2), jnp.cross(r2, r0), jnp.cross(r0, r1)]
+    )
+    R1, _ = polar_rotation3x3(cofE - skew(t) @ En)
+    R2, _ = polar_rotation3x3(cofE + skew(t) @ En)
     cand_R = jnp.stack([R1, R1, R2, R2])          # (4, 3, 3)
     cand_t = jnp.stack([t, -t, t, -t])            # (4, 3)
 
+    # One batched DLT over all 4 candidate poses x N points.
+    N = pd_prev.shape[0]
     eye34 = jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
                              jnp.zeros((3, 1), jnp.float32)], axis=1)
     P1 = jnp.concatenate([eye34, jnp.array([[0, 0, 0, 1]], jnp.float32)], 0)
-
-    def cheirality(Rt):
-        R, tt = Rt
-        P2 = jnp.concatenate(
-            [jnp.concatenate([R, tt[:, None]], axis=1),
-             jnp.array([[0, 0, 0, 1]], jnp.float32)], 0)
-        X = triangulate_points(pd_prev, pd_cur, P1, P2)  # (N, 4)
-        Xc = X[:, :3] / jnp.where(jnp.abs(X[:, 3:]) < 1e-12, 1e-12, X[:, 3:])
-        z1 = Xc[:, 2]
-        z2 = (Xc @ R.T + tt)[:, 2]
-        good = (z1 > 0) & (z2 > 0) & inliers
-        return jnp.sum(good)
-
-    votes = jax.vmap(cheirality)((cand_R, cand_t))
+    P2c = jnp.concatenate([cand_R, cand_t[..., None]], axis=-1)  # (4, 3, 4)
+    P2c = jnp.concatenate(
+        [P2c, jnp.broadcast_to(jnp.array([[[0, 0, 0, 1]]], jnp.float32),
+                               (4, 1, 4))], axis=1
+    )  # (4, 4, 4)
+    pd1_r = jnp.broadcast_to(pd_prev, (4, N, 2)).reshape(4 * N, 2)
+    pd2_r = jnp.broadcast_to(pd_cur, (4, N, 2)).reshape(4 * N, 2)
+    P2_r = jnp.repeat(P2c, N, axis=0)  # (4N, 4, 4)
+    X = triangulate_points(pd1_r, pd2_r, P1, P2_r).reshape(4, N, 4)
+    Xc = X[..., :3] / jnp.where(
+        jnp.abs(X[..., 3:]) < 1e-12, 1e-12, X[..., 3:]
+    )
+    z1 = Xc[..., 2]
+    z2 = (
+        jnp.einsum("kij,knj->kni", cand_R, Xc) + cand_t[:, None, :]
+    )[..., 2]
+    votes = jnp.sum((z1 > 0) & (z2 > 0) & inliers[None, :], axis=1)
     k = jnp.argmax(votes)
     R, tt = cand_R[k], cand_t[k]
     pose = jnp.eye(4, dtype=jnp.float32)

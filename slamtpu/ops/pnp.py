@@ -21,6 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .smallalg import solve_psd
+
 
 # ---------------------------------------------------------------------------
 # Closed-form polynomial roots (batched, f32 + Newton polish).
@@ -179,23 +181,35 @@ def _p3p_grunert(X, f):
         & (denom > 1e-9) & jnp.isfinite(s1) & (s1 > 1e-9)
     )
 
-    # Camera-frame points and 3-point Kabsch (world -> camera).
+    # Camera-frame points -> absolute orientation by TRIAD alignment: P3P
+    # distances make the 3-point correspondence exact (up to quartic-root
+    # noise), so aligning the orthonormal frames built from each point
+    # triangle is the exact rotation — closed form, fully batched (the
+    # SVD-Kabsch this replaces serialized ~100x off the roofline on TPU;
+    # note a 3-point centered correlation is rank-2, so a polar/Newton
+    # orthogonalization cannot be used here).
     Y = (
         jnp.stack([s1, s2, s3], axis=-1)[..., None]  # (M, 4, 3, 1)
         * f[:, None, :, :]                           # (M, 1, 3, 3)
     )  # (M, 4, 3pts, 3)
     Xb = jnp.broadcast_to(X[:, None], Y.shape)
-    Xc = Xb - jnp.mean(Xb, axis=-2, keepdims=True)
-    Yc = Y - jnp.mean(Y, axis=-2, keepdims=True)
-    H = jnp.einsum("mkpi,mkpj->mkij", Xc, Yc)  # (M, 4, 3, 3)
-    u_, _, vt_ = jnp.linalg.svd(H)
-    det = jnp.linalg.det(jnp.einsum("mkij,mkjl->mkil",
-                                    jnp.swapaxes(vt_, -1, -2),
-                                    jnp.swapaxes(u_, -1, -2)))
-    D = jnp.zeros_like(H).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    D = D.at[..., 2, 2].set(det)
-    R = jnp.einsum("mkij,mkjl,mklo->mkio",
-                   jnp.swapaxes(vt_, -1, -2), D, jnp.swapaxes(u_, -1, -2))
+
+    def triad(Pts):
+        a = Pts[..., 1, :] - Pts[..., 0, :]
+        b = Pts[..., 2, :] - Pts[..., 0, :]
+        na = jnp.linalg.norm(a, axis=-1, keepdims=True)
+        e1 = a / jnp.maximum(na, 1e-12)
+        b_perp = b - jnp.sum(b * e1, axis=-1, keepdims=True) * e1
+        nb = jnp.linalg.norm(b_perp, axis=-1, keepdims=True)
+        e2 = b_perp / jnp.maximum(nb, 1e-12)
+        e3 = jnp.cross(e1, e2)
+        ok = (na[..., 0] > 1e-9) & (nb[..., 0] > 1e-9)
+        return jnp.stack([e1, e2, e3], axis=-1), ok  # (..., 3, 3) columns
+
+    Ex, okx = triad(Xb)
+    Fy, oky = triad(Y)
+    R = jnp.einsum("mkij,mklj->mkil", Fy, Ex)  # F E^T
+    valid = valid & okx & oky
     t = jnp.mean(Y, axis=-2) - jnp.einsum(
         "mkij,mkj->mki", R, jnp.mean(Xb, axis=-2)
     )
@@ -214,8 +228,11 @@ def p3p_ransac(points3d, pixels_xy, bearings, valid, n, intrinsics, key, *,
     Returns dict: cw (4, 4) world->camera, inliers (N,), n_inliers,
     avg_error (mean inlier reprojection error).
     """
+    del n  # sampling is mask-driven (no argsort compaction needed)
+    from .mvg import sample_valid_indices
+
     M = hypotheses
-    idx = jax.random.randint(key, (M, 3), 0, jnp.maximum(n, 1))
+    idx = sample_valid_indices(key, valid, (M, 3))
     R, t, ok = _p3p_grunert(points3d[idx], bearings[idx])  # (M,4,...)
 
     Rf = R.reshape(-1, 3, 3)
@@ -297,7 +314,7 @@ def _lm_loop(theta0, points, pixels_yx, weights, intrinsics, iters):
         H = J.T @ J
         g = J.T @ r
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-        step = -jnp.linalg.solve(Hd, g)
+        step = -solve_psd(Hd, g)
         cand = theta + step
         new_cost, _ = cost_fn(cand)
         accept = new_cost < cost

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from .frontend_step import _undistort_backproject
-from .image import build_lk_pyramid
-from .lucas_kanade import merged_fb
+from .image import lk_pyramid_impl
+from .lucas_kanade import fb_shadow
 from .mvg import triangulate_points
 
 
@@ -56,25 +56,18 @@ def stereo_step(
     epipolar_error: float = 2.0, max_error: float = 3.0, sigma: float = 1.0,
     min_active: int = 0,
 ):
-    pyr_right = build_lk_pyramid(
+    pyr_right = lk_pyramid_impl(
         right_image, levels=levels, sigma=sigma, pad=pad
     )
 
-    plain_mask = valid & ~prior_mask
-    prior = valid & prior_mask
-    cascade, backward = merged_fb(
-        pyr_left, pyr_right, px, plain_mask, prior, disp_prior,
+    # One doubled-lane cascade tracks both families plus the failed-prior
+    # retry simultaneously (fb_shadow — same trick as the tracking step).
+    tracked_px, ok, _ = fb_shadow(
+        pyr_left, pyr_right, px, prior_mask, disp_prior, valid,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
-        eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+        eig_thresh=eig_thresh, pad=pad, max_distance=max_fb_distance,
+        min_active=min_active,
     )
-    flow_m, ok_m = cascade(plain_mask, prior, disp_prior)
-    ok_m = backward(flow_m, ok_m, max_fb_distance)
-    retry_mask = prior & ~ok_m
-    flow_r, ok_r = cascade(retry_mask, None, None)
-    ok_r = backward(flow_r, ok_r & retry_mask, max_fb_distance)
-    use_retry = retry_mask & ok_r
-    tracked_px = jnp.where(use_retry[:, None], px + flow_r, px + flow_m)
-    ok = (ok_m | use_retry) & valid
 
     # Epipolar gate on undistorted rows (map_manager.jl:579-590).
     und_r, _ = _undistort_backproject(tracked_px, intr_r, dist_r)

@@ -72,7 +72,8 @@ def _pose_gauss_newton(theta, points3d, pixels_yx, weights, intrinsics):
     J = J * w[:, :, None]
     H = jnp.einsum("nia,nib->ab", J, J) + 1e-6 * jnp.eye(6)
     g = jnp.einsum("nia,ni->a", J, r)
-    return theta - jnp.linalg.solve(H, g), jnp.sum(r * r)
+    from ..ops.smallalg import solve_psd
+    return theta - solve_psd(H, g), jnp.sum(r * r)
 
 
 def _one_sequence(img_prev, img_cur, points, points3d, theta, valid,
