@@ -169,6 +169,29 @@ class Estimator:
                     obs_kfid.append(ob_kfid)
                     obs_mpid.append(kpid)
 
+        # Order FREE poses first: the BA kernel's Schur solve runs on a
+        # fixed leading 6*FREE_CAP block (ops/ba.py), so constant observer
+        # poses must sit behind every optimized one.
+        from ..ops.ba import FREE_CAP
+
+        n_free = sum(1 for c in pose_const if not c)
+        if n_free > FREE_CAP:
+            log.warning("[ES] %d free poses exceed FREE_CAP=%d; extras "
+                        "held constant.", n_free, FREE_CAP)
+            kept = 0
+            for i in range(len(pose_const)):
+                if not pose_const[i]:
+                    kept += 1
+                    if kept > FREE_CAP:
+                        pose_const[i] = True
+        order = sorted(range(len(pose_vecs)),
+                       key=lambda i: (pose_const[i], i))
+        inv = {old: new for new, old in enumerate(order)}
+        pose_vecs = [pose_vecs[i] for i in order]
+        pose_const = [pose_const[i] for i in order]
+        poses_remap = [poses_remap[i] for i in order]
+        obs_pose = [inv[i] for i in obs_pose]
+
         return {
             "pose_vecs": pose_vecs,
             "pose_const": pose_const,
@@ -220,7 +243,7 @@ class Estimator:
             # combos and the bench spent 39 s/60 frames re-tracing. One
             # generous static shape traces once; padded entries are masked
             # (obs_valid) and execution is ~65 ms regardless.
-            P = next_bucket(n_poses, minimum=8, maximum=None)
+            P = next_bucket(n_poses, minimum=16, maximum=None)
             X = next_bucket(n_points, minimum=2048)
             O = next_bucket(n_obs, minimum=8192)
 

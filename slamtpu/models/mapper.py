@@ -51,6 +51,26 @@ def _triangulate_padded(px1, px2, P1, P2):
     return out[:n]
 
 
+def _triangulate_padded_P2(px1, px2, P1, P2_rows):
+    """Like _triangulate_padded but with a per-row (N, 4, 4) second
+    projection (all observer groups in one dispatch)."""
+    from ..utils.padding import next_bucket
+
+    n = len(px1)
+    cap = next_bucket(n, minimum=1024)
+    a = np.zeros((cap, 2), np.float32)
+    b = np.zeros((cap, 2), np.float32)
+    P2 = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+    a[:n] = px1
+    b[:n] = px2
+    P2[:n] = P2_rows
+    out = np.asarray(triangulate_batch(
+        jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(P1, jnp.float32), jnp.asarray(P2),
+    ), np.float64)
+    return out[:n]
+
+
 @dataclass
 class KeyFrame:
     """Queue payload (reference mapper.jl:1-5)."""
@@ -355,6 +375,12 @@ class Mapper:
 
         max_error = self.params.max_reprojection_error
         good = 0
+
+        # ONE batched DLT dispatch across ALL observer groups: P2 varies
+        # per row (triangulate_points broadcasts (N, 4, 4) projections), so
+        # the per-group device round trips (~26 ms each) collapse into one.
+        live_groups = []
+        all_px1, all_px2, all_P2 = [], [], []
         for kfid, pairs in groups.items():
             observer_kf = mm.get_keyframe(kfid)
             rel_pose = observer_kf.cw @ frame.wc   # frame -> observer
@@ -368,19 +394,24 @@ class Mapper:
                 # the keypoints 2D for a later keyframe.
                 continue
             rel_pose_inv = hm.se3_inv(rel_pose)
-            P1 = K4.copy()
             P2 = K4 @ rel_pose_inv
+            start = len(all_px1)
+            for kp, okp in pairs:
+                all_px1.append(okp.undistorted_pixel[::-1])
+                all_px2.append(kp.undistorted_pixel[::-1])
+                all_P2.append(P2)
+            live_groups.append((kfid, pairs, rel_pose, rel_pose_inv, start))
+        if not all_px1:
+            log.debug("[MP] Temporal triangulation: 0 good.")
+            return
+        all_pts = _triangulate_padded_P2(
+            np.asarray(all_px1, np.float32), np.asarray(all_px2, np.float32),
+            K4, np.asarray(all_P2, np.float32),
+        )
 
-            obup = np.array(
-                [okp.undistorted_pixel for _, okp in pairs], np.float64
-            )
-            kpup = np.array(
-                [kp.undistorted_pixel for kp, _ in pairs], np.float64
-            )
-            pts = _triangulate_padded(
-                obup[:, ::-1].astype(np.float32),
-                kpup[:, ::-1].astype(np.float32), P1, P2,
-            )
+        for kfid, pairs, rel_pose, rel_pose_inv, start in live_groups:
+            observer_kf = mm.get_keyframe(kfid)
+            pts = all_pts[start:start + len(pairs)]
 
             for (kp, okp), lp in zip(pairs, pts):
                 # Rotation-only parallax gate (mapper.jl:239-240).

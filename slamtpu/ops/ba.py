@@ -32,6 +32,12 @@ import jax.numpy as jnp
 from .se3 import rot_zyx
 from .smallalg import inv3x3, solve_psd
 
+# Max FREE (optimized) poses the Schur solve supports: the covisibility
+# window is capped at ba_window=5 newest keyframes (reference
+# estimator.jl:328-331); 8 leaves headroom. Constant observer poses beyond
+# this are fine — they carry no pose Jacobian.
+FREE_CAP = 8
+
 
 def _residual_one(pose_theta, point, px_yx, intrinsics):
     """Single-observation reprojection residual (2,), (y, x) order."""
@@ -116,19 +122,24 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
         V_d = V + lam * V * eyeX + 1e-8 * eyeX
         V_inv, _ = inv3x3(V_d)  # batched closed form (smallalg.py)
 
-        # Reduced camera system S dp = rhs.
+        # Reduced camera system S dp = rhs. Constant poses have zero pose
+        # Jacobians, so S genuinely lives on the FREE poses only — and the
+        # caller orders free poses first (estimator.py), so the solve runs
+        # on a fixed leading block of 6 * FREE_CAP rows regardless of how
+        # many constant observer poses pad out P (the unrolled-Cholesky
+        # cost and compile time stay constant as the map grows).
         S = jax.scipy.linalg.block_diag(*[U_d[i] for i in range(P)])
         S = S - jnp.einsum("xab,xbc,xdc->ad", B, V_inv, B)
         rhs = -(g_p - jnp.einsum("xab,xbc,xc->a", B, V_inv, g_x))
-        # Constant poses: identity rows/cols, zero rhs.
+        # Constant/padded poses: identity rows/cols, zero rhs.
         S = (
             S * free_flat[:, None] * free_flat[None, :]
             + jnp.diag(1.0 - free_flat)
         )
         rhs = rhs * free_flat
-        # S is SPD (damped Schur complement; constant poses get identity
-        # rows) — unrolled batched Cholesky beats the LAPACK-style lowering.
-        dp = solve_psd(S, rhs)
+        k_free = min(6 * FREE_CAP, n6)
+        dp_free = solve_psd(S[:k_free, :k_free], rhs[:k_free])
+        dp = jnp.zeros((n6,), jnp.float32).at[:k_free].set(dp_free)
 
         dx = jnp.einsum(
             "xbc,xc->xb", V_inv, -g_x - jnp.einsum("xab,a->xb", B, dp)

@@ -65,9 +65,14 @@ class Params:
     # inputs — the same numeric-sensitivity class documented in PERF.md.
     fused_stereo: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
-    # worker lag). Slightly faster, but tracking sees a staler map —
-    # measured ~2x worse ATE on the synthetic benchmark, so off by default.
-    defer_ba: bool = False
+    # worker lag, estimator.jl:79-110). Besides overlapping the BA device
+    # time with tracking, this keeps `local_ba_on` True between keyframes —
+    # which is what throttles the keyframe cadence in the reference
+    # (check_new_kf_required consults it, front_end.jl:368,375,390). The
+    # round-1 defer regression was the since-fixed garbage-points-in-early-
+    # BA bug; measured now: 30-frame synthetic stereo ATE 0.088 m with 17
+    # keyframes deferred vs 0.129 m with 27 keyframes synchronous.
+    defer_ba: bool = True
     # Run mapper/estimator inline (lock-step) instead of worker threads.
     # The reference example drains all queues per frame anyway
     # (example/kitty/main.jl:46-54), so lock-step is the honest default.
