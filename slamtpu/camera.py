@@ -145,6 +145,22 @@ def undistort_batch(camera: Camera, pixels: np.ndarray) -> np.ndarray:
     return np.stack([dy * camera.fy + camera.cy, dx * camera.fx + camera.cx], axis=-1)
 
 
+def undistort_pdn_batch(camera: Camera, normalized: np.ndarray) -> np.ndarray:
+    """(N, 2) normalized (y, x) points -> distorted pixels (y, x)
+    (batched twin of Camera.undistort_pdn_point)."""
+    ny, nx = normalized[:, 0], normalized[:, 1]
+    r2 = ny * ny + nx * nx
+    rd = 1.0 + camera.k1 * r2 + camera.k2 * r2 * r2
+    p = ny * nx
+    dtx = 2.0 * camera.p1 * p + camera.p2 * (r2 + 2.0 * ny * ny)
+    dty = camera.p1 * (r2 + 2.0 * nx * nx) + 2.0 * camera.p2 * p
+    dy = rd * ny + dty
+    dx = rd * nx + dtx
+    return np.stack(
+        [dy * camera.fy + camera.cy, dx * camera.fx + camera.cx], axis=-1
+    )
+
+
 def backproject_batch(camera: Camera, pixels: np.ndarray) -> np.ndarray:
     """(N, 2) pixels (y, x) -> (N, 3) normalized rays (x, y, 1)."""
     x = (pixels[:, 1] - camera.cx) / camera.fx

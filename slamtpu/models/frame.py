@@ -339,6 +339,24 @@ class Frame:
             self.project_world_to_right_camera(point)
         )
 
+    def project_world_to_image_distort_batch(self, points):
+        """(K, 3) world points -> (K, 2) distorted pixels (y, x), one
+        vectorized pass (the per-point twin above costs ~10 us each;
+        assembling 500 priors per frame through it was ~10 ms of host
+        time)."""
+        from ..camera import undistort_pdn_batch
+
+        pc = points @ self.cw[:3, :3].T + self.cw[:3, 3]
+        z = pc[:, 2:3]
+        z = np.where(np.abs(z) < 1e-12, 1e-12, z)
+        normalized = pc[:, [1, 0]] / z  # (y, x)
+        return undistort_pdn_batch(self.camera, normalized)
+
+    def in_image_batch(self, pixels):
+        from ..camera import in_image_batch
+
+        return in_image_batch(self.camera, pixels)
+
     def in_image(self, pixel) -> bool:
         return self.camera.in_image(pixel)
 

@@ -212,46 +212,57 @@ class FrontEnd:
         mm = self.map_manager
         scale3d = 0.5  # 1 / 2^pyramid_levels_3d (map_manager.jl:458,466)
 
-        packed = np.zeros((cap, 11), np.float32)
-        flags = np.zeros((cap,), np.int32)
-        join_idx = np.full((cap,), -1, np.int32)
+        # One (cap + 3, 13) f32 upload: kp rows | flags col | join col |
+        # 3 misc rows (each H2D transfer costs ~4-10 ms of tunnel latency).
+        state = np.zeros((cap + 3, 13), np.float32)
+        state[:cap, 12] = -1.0  # join col: invalid
 
-        ids, attempted, has_mp = [], [], []
-        i = 0
-        for kp in list(frame.keypoints.values()):
-            mp = mm.map_points.get(kp.id) if kp.is_3d else None
-            if kp.is_3d and mp is None:
+        # Pass 1: drop 3D keypoints whose map point vanished (rare), then
+        # vectorize the prior projection over all remaining 3D keypoints.
+        kps = []
+        for kp in frame.keypoints.values():
+            if kp.is_3d and kp.id not in mm.map_points:
                 mm.remove_mappoint_obs(kp.id, frame.kfid)
                 continue
-            if i >= cap:
-                # Over-capacity keypoints stay untracked this frame (their
-                # observations are preserved; extraction keeps nb_keypoints
-                # near the budget, so this is a pathological-config guard).
-                log.warning("[FE] keypoints exceed capacity %d.", cap)
-                break
-            ids.append(kp.id)
-            packed[i, PK_PX] = kp.pixel
-            if kp.is_3d:
-                position = mp.get_position()
-                projection = frame.project_world_to_image_distort(position)
-                if frame.in_image(projection):
-                    flags[i] |= FL_VALID | FL_PRIOR
-                    packed[i, PK_DISP] = scale3d * (projection - kp.pixel)
-                    attempted.append(True)
-                else:
-                    # Untracked this frame (map_manager.jl:500-507).
-                    attempted.append(False)
-                packed[i, PK_MP] = position
-                flags[i] |= FL_HAS_MP
-                has_mp.append(True)
-            else:
-                flags[i] |= FL_VALID
-                attempted.append(True)
-                has_mp.append(False)
-            i += 1
-        n = len(ids)
-        id_to_slot = {kpid: j for j, kpid in enumerate(ids)}
+            kps.append(kp)
+        if len(kps) > cap:
+            # Over-capacity keypoints stay untracked this frame (their
+            # observations are preserved; extraction keeps nb_keypoints
+            # near the budget, so this is a pathological-config guard).
+            log.warning("[FE] keypoints exceed capacity %d.", cap)
+            kps = kps[:cap]
+        n = len(kps)
+        ids = [kp.id for kp in kps]
+        is3d = np.fromiter((kp.is_3d for kp in kps), bool, n)
+        px = (
+            np.stack([kp.pixel for kp in kps])
+            if n else np.zeros((0, 2))
+        )
+        mp_pos = np.zeros((n, 3))
+        idx3d = np.nonzero(is3d)[0]
+        if len(idx3d):
+            mp_pos[idx3d] = [
+                mm.map_points[kps[j].id].get_position() for j in idx3d
+            ]
+            proj = frame.project_world_to_image_distort_batch(
+                mp_pos[idx3d]
+            )
+            inb = frame.in_image_batch(proj)
+        else:
+            proj = np.zeros((0, 2))
+            inb = np.zeros((0,), bool)
 
+        flags = np.where(is3d, 0, FL_VALID).astype(np.int32)
+        flags[idx3d] |= FL_HAS_MP
+        flags[idx3d[inb]] |= FL_VALID | FL_PRIOR
+        attempted = (flags & FL_VALID) > 0
+        has_mp = is3d
+        state[:n, PK_PX] = px
+        state[idx3d[inb], PK_DISP] = scale3d * (proj[inb] - px[idx3d[inb]])
+        state[:n, PK_MP] = mp_pos
+        state[:n, 11] = flags
+
+        id_to_slot = {kpid: j for j, kpid in enumerate(ids)}
         m = 0
         for kpid, pkp in prev_kf.keypoints.items():
             slot = id_to_slot.get(kpid)
@@ -259,9 +270,9 @@ class FrontEnd:
                 continue
             if m >= cap:
                 break
-            join_idx[m] = slot
-            packed[m, PK_PREV_UND] = pkp.undistorted_pixel[::-1]
-            packed[m, PK_PREV_BEAR] = pkp.position[:2]
+            state[m, 12] = slot
+            state[m, PK_PREV_UND] = pkp.undistorted_pixel[::-1]
+            state[m, PK_PREV_BEAR] = pkp.position[:2]
             m += 1
 
         R_comp = (prev_kf.get_Rcw() @ frame.get_Rwc()).astype(np.float32)
@@ -269,16 +280,16 @@ class FrontEnd:
         misc = np.concatenate([
             R_comp.reshape(9),
             theta_pred,
-            np.asarray(self._intrinsics_np, np.float32),
-            np.asarray(self._distortion_np, np.float32),
+            self._intrinsics_np,
+            self._distortion_np,
         ]).astype(np.float32)
+        state[cap:, :].reshape(39)[:23] = misc
 
         _t_assemble.__exit__(None, None, None)
         with TIMERS.stage("fe.fused.dispatch"):
             per_kp, scalars, pyr_cur = frontend_step_v2(
                 image_dev, self.current_pyramid,
-                jnp.asarray(packed), jnp.asarray(flags),
-                jnp.asarray(join_idx), jnp.asarray(misc),
+                jnp.asarray(state),
                 self._ransac_key(2),
                 levels=p.pyramid_levels, window=p.window_size,
                 iters=p.lk_iterations, eps=p.lk_epsilon,

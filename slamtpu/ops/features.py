@@ -69,17 +69,15 @@ def detect_keypoints(img, occupied_px, occupied_valid, *, cell_size: int,
     h, w = img.shape
     resp = shi_tomasi_response(img)
 
-    # Suppress around existing keypoints. The occupancy image is built as a
-    # one-hot outer-product matmul (y one-hot)^T @ (x one-hot) — a scatter
-    # at this size serializes on TPU, the MXU does this for free.
+    # Suppress around existing keypoints. (NOTE: a one-hot outer-product
+    # matmul formulation of this scatter ran at the same ~39 ms warm but
+    # took the remote XLA helper ~500 s to compile — keep the scatter.)
     yx = jnp.round(occupied_px).astype(jnp.int32)
     yx = jnp.clip(yx, 0, jnp.array([h - 1, w - 1]))
-    val = occupied_valid.astype(jnp.float32)
-    oh_y = (jax.nn.one_hot(yx[:, 0], h, dtype=jnp.float32)
-            * val[:, None])                                   # (M, H)
-    oh_x = jax.nn.one_hot(yx[:, 1], w, dtype=jnp.float32)     # (M, W)
-    occ = oh_y.T @ oh_x                                       # (H, W) counts
-    suppressed = _dilate(occ, radius) > 0.5
+    occ = jnp.zeros((h, w), jnp.float32).at[yx[:, 0], yx[:, 1]].max(
+        occupied_valid.astype(jnp.float32)
+    )
+    suppressed = _dilate(occ, radius) > 0.0
     resp = jnp.where(suppressed, 0.0, resp)
 
     # Local maxima (3x3) above min_response.

@@ -84,7 +84,7 @@ def _masked_median(values, mask, iters: int = 24):
     static_argnames=(
         "levels", "window", "iters", "eps", "eig_thresh", "pad",
         "max_fb_distance", "essential_hypotheses", "pnp_hypotheses",
-        "threshold", "min_parallax_5pt", "min_active",
+        "threshold", "min_parallax_5pt", "min_active", "five_point",
     ),
 )
 def frontend_step(
@@ -112,7 +112,7 @@ def frontend_step(
     eig_thresh: float = 1e-4, pad: int = 11, max_fb_distance: float = 1.0,
     essential_hypotheses: int = 256, pnp_hypotheses: int = 256,
     threshold: float = 3.0, min_parallax_5pt: float = 5.0,
-    min_active: int = 0,
+    min_active: int = 0, five_point: bool = False,
 ):
     N = px.shape[0]
 
@@ -160,6 +160,12 @@ def frontend_step(
         prev_und_xy, cur_und[:, ::-1],
         j_ok, jnp.maximum(n_par, 1), intrinsics, key,
         hypotheses=essential_hypotheses, threshold=threshold,
+        # Per-frame epipolar filtering runs on hundreds of tracked
+        # correspondences where the polished 8-point is accurate and ~50 ms
+        # cheaper than 5-point; the mono INIT (where planar degeneracy
+        # bites, front_end.jl:343-354) goes through the host path with
+        # five_point=True.
+        five_point=five_point,
     )
     ess_inliers = ess["inliers"]
     ess_gate = (n_par >= 8) & (mean_parallax >= min_parallax_5pt) & (
@@ -264,22 +270,25 @@ FL_HAS_MP = 4       # has a live map point (feeds P3P)
         "levels", "window", "iters", "eps", "eig_thresh", "pad",
         "max_fb_distance", "essential_hypotheses", "pnp_hypotheses",
         "threshold", "min_parallax_5pt", "min_active", "sigma",
+        "five_point",
     ),
 )
 def frontend_step_v2(
     image,          # (H, W) f32 current frame
     pyr_prev,       # previous frame's pyramid pytree (device-resident)
-    packed,         # (N, 11) f32 — see PK_* layout
-    flags,          # (N,) int32 — see FL_* bits
-    join_idx,       # (N,) int32, -1 = invalid join row
-    misc,           # (23,) f32 — R_comp | theta_pred | intrinsics | dist
+    state,          # (N + 3, 13) f32 single upload:
+                    #   rows [0, N): PK_* cols | col 11 = FL_* flags |
+                    #                col 12 = join_idx (-1 = invalid)
+                    #   rows [N, N+3): misc (23,) f32 flattened row-major —
+                    #                  R_comp | theta_pred | intrinsics |
+                    #                  distortion
     key,
     *,
     levels: int, window: int, iters: int = 30, eps: float = 1e-2,
     eig_thresh: float = 1e-4, pad: int = 11, max_fb_distance: float = 1.0,
     essential_hypotheses: int = 256, pnp_hypotheses: int = 256,
     threshold: float = 3.0, min_parallax_5pt: float = 5.0,
-    min_active: int = 0, sigma: float = 1.0,
+    min_active: int = 0, sigma: float = 1.0, five_point: bool = False,
 ):
     """One device program per tracked frame: pyramid + KLT + epipolar filter
     + P3P + PnP + keyframe parallax. Returns (packed results, pyr_cur);
@@ -289,6 +298,11 @@ def frontend_step_v2(
     from .image import lk_pyramid_impl
 
     pyr_cur = lk_pyramid_impl(image, levels=levels, sigma=sigma, pad=pad)
+
+    packed = state[:-3, :11]
+    flags = state[:-3, 11].astype(jnp.int32)
+    join_idx = state[:-3, 12].astype(jnp.int32)
+    misc = state[-3:, :].reshape(39)
 
     res = frontend_step(
         pyr_prev, pyr_cur,
@@ -312,6 +326,7 @@ def frontend_step_v2(
         essential_hypotheses=essential_hypotheses,
         pnp_hypotheses=pnp_hypotheses, threshold=threshold,
         min_parallax_5pt=min_parallax_5pt, min_active=min_active,
+        five_point=five_point,
     )
 
     # Pack per-keypoint outputs into one (N, 11) fetch + one scalar vector.

@@ -110,9 +110,12 @@ def _essential_from_8pt(pd1, pd2):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("hypotheses", "threshold"))
+@functools.partial(
+    jax.jit, static_argnames=("hypotheses", "threshold", "five_point")
+)
 def essential_ransac(pd_prev, pd_cur, px_prev, px_cur, valid, n, intrinsics,
-                     key, *, hypotheses: int = 256, threshold: float = 3.0):
+                     key, *, hypotheses: int = 256, threshold: float = 3.0,
+                     five_point: bool = True):
     """Essential-matrix RANSAC + relative pose recovery.
 
     pd_prev/pd_cur: (N, 2) normalized (x, y) correspondences (prev/cur).
@@ -121,13 +124,31 @@ def essential_ransac(pd_prev, pd_cur, px_prev, px_cur, valid, n, intrinsics,
         compatibility, sampling uses `valid` directly);
     intrinsics: (4,) (fx, fy, cx, cy); key: PRNG key.
 
+    five_point=True (default): Nister 5-point minimal samples
+    (ops/fivepoint.py, the reference's five_point_ransac contract,
+    front_end.jl:305) — each sample contributes all its real-root E
+    candidates as hypotheses. five_point=False: normalized 8-point
+    (degenerate on planar scenes; kept for ablation).
+
     Returns dict with E (3, 3), pose (4, 4) prev->cur ([R|t], unit t),
     inliers (N,) bool, n_inliers scalar.
     """
     del n  # sampling is mask-driven
-    M = hypotheses
-    idx = sample_valid_indices(key, valid, (M, 8))
-    E = _essential_from_8pt(pd_prev[idx], pd_cur[idx])  # (M, 3, 3)
+    if five_point:
+        from .fivepoint import five_point_candidates
+
+        M5 = max(hypotheses // 8, 16)
+        idx = sample_valid_indices(key, valid, (M5, 5))
+        Ec, ok_c = five_point_candidates(
+            pd_prev[idx], pd_cur[idx], grid=32
+        )
+        E = Ec.reshape(-1, 3, 3)
+        hyp_ok = ok_c.reshape(-1)
+    else:
+        M = hypotheses
+        idx = sample_valid_indices(key, valid, (M, 8))
+        E = _essential_from_8pt(pd_prev[idx], pd_cur[idx])  # (M, 3, 3)
+        hyp_ok = jnp.ones((M,), bool)
 
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     iK = jnp.array(
@@ -139,9 +160,9 @@ def essential_ransac(pd_prev, pd_cur, px_prev, px_cur, valid, n, intrinsics,
 
     err = jax.vmap(lambda f: _sampson_px(f, px_prev, px_cur))(F)  # (M, N)
     inl = (err < threshold) & valid[None, :]
-    counts = jnp.sum(inl, axis=1)
+    counts = jnp.where(hyp_ok, jnp.sum(inl, axis=1), -1)
     best = jnp.argmax(counts)
-    inliers0 = inl[best]
+    inliers0 = inl[best] & hyp_ok[best]
 
     # Least-squares polish on the winning hypothesis's inliers (all-inlier
     # 8-point refit), then rescore — tightens the minimal-sample estimate
