@@ -206,6 +206,7 @@ class Mapper:
         if n == 0:
             return
         ids = ids[:n]
+        tri_cand = tri_cand[:n]
 
         K4l = hm.mat3_to_4x4(frame.camera.K)
         P2 = hm.mat3_to_4x4(frame.right_camera.K) @ frame.right_camera.Ti0
@@ -235,19 +236,37 @@ class Mapper:
         )
         res = jax.device_get(res)
 
+        # Epipolar gate re-decided on HOST in f64 from the raw tracked
+        # pixel — bit-identical to the legacy maybe_stereo_update
+        # (map_manager.jl:579-590); the device epi_ok is f32 and flips
+        # boundary points.
+        tracked_ok = np.asarray(res["ok"], bool)
+        tracked_px = np.asarray(res["tracked_px"], np.float64)
+        epi_host = np.zeros(len(ids), bool)
+        for i, kpid in enumerate(ids):
+            if not tracked_ok[i]:
+                continue
+            kp = frame.get_keypoint(kpid)
+            if kp is None:
+                continue
+            right_pixel = frame.right_camera.undistort_point(tracked_px[i])
+            if abs(kp.undistorted_pixel[0] - right_pixel[0]) <= 2.0:
+                epi_host[i] = True
+
         # Depth/reprojection gates in f64 on host, identical to the legacy
         # triangulate_stereo (mapper.jl:155-181).
         max_error = p.max_reprojection_error
         n_good = 0
         n_tri = 0
         for i, kpid in enumerate(ids):
-            if res["epi_ok"][i]:
-                frame.update_stereo_keypoint_precomputed(
-                    kpid, res["right_px"][i], res["right_und"][i],
-                    res["right_bear"][i],
-                )
+            if epi_host[i]:
+                # Host f64 correction + undistort/backproject (identical
+                # to the legacy update_stereo_keypoint path).
+                kp = frame.get_keypoint(kpid)
+                corrected = np.array([kp.pixel[0], tracked_px[i][1]])
+                frame.update_stereo_keypoint(kpid, corrected)
                 n_good += 1
-            if not res["tri_cand"][i]:
+            if not (epi_host[i] and tri_cand[i]):
                 continue
             lp = np.asarray(res["left_point"][i], np.float64)
             if lp[2] < 0.1:

@@ -97,11 +97,12 @@ class SlamManager:
 
     # -- per-frame pipeline (SLAM.jl:187-230) -----------------------------------
 
-    @staticmethod
-    def _to_device_image(image):
+    def _to_device_image(self, image):
         arr = np.asarray(image, np.float32)
         if arr.max() > 1.5:  # uint8-style input: normalize to [0, 1]
             arr = arr / 255.0
+        if self.params.image_dtype == "float16":
+            arr = arr.astype(np.float16)
         return jnp.asarray(arr)
 
     def _process_frame(self, image, right_image, time: float):

@@ -67,6 +67,7 @@ def detect_keypoints(img, occupied_px, occupied_valid, *, cell_size: int,
     slots have response <= 0.
     """
     h, w = img.shape
+    img = img.astype(jnp.float32)
     resp = shi_tomasi_response(img)
 
     # Suppress around existing keypoints. (NOTE: a one-hot outer-product
@@ -125,7 +126,7 @@ def brief_describe(img, keypoints, valid, pattern):
     whole patch lies inside the image.
     """
     h, w = img.shape
-    smooth = gaussian_blur(img, 2.0)
+    smooth = gaussian_blur(img.astype(jnp.float32), 2.0)
     kp = jnp.round(keypoints).astype(jnp.int32)
     inb = (
         (kp[:, 0] >= _BRIEF_PATCH)

@@ -69,13 +69,15 @@ def stereo_step(
         min_active=min_active,
     )
 
-    # Epipolar gate on undistorted rows (map_manager.jl:579-590).
-    und_r, _ = _undistort_backproject(tracked_px, intr_r, dist_r)
-    epi_ok = ok & (jnp.abs(left_und[:, 0] - und_r[:, 0]) <= epipolar_error)
+    # Row-corrected right pixel + its undistorted twin feed the DLT; the
+    # epipolar GATE decision itself is re-made on the host in f64 from the
+    # raw tracked pixel (f32 boundary flips at the 2 px gate were the first
+    # divergence vs the legacy path).
     corrected = jnp.stack([left_raw_y, tracked_px[:, 1]], axis=-1)
-    right_und, right_bear = _undistort_backproject(corrected, intr_r, dist_r)
+    right_und, _ = _undistort_backproject(corrected, intr_r, dist_r)
 
-    # Stereo DLT triangulation for the gated candidates (mapper.jl:142-183).
+    # Stereo DLT triangulation for every candidate (mapper.jl:142-183);
+    # the host applies the gates.
     X = triangulate_points(
         left_und[:, ::-1], right_und[:, ::-1], P1, P2
     )  # (N, 4) homogeneous, left-camera frame
@@ -86,10 +88,7 @@ def stereo_step(
     # f64 (identical to the legacy path's gates); the kernel returns the raw
     # left-camera triangulations.
     return {
-        "right_px": corrected,
-        "right_und": right_und,
-        "right_bear": right_bear,
-        "epi_ok": epi_ok,
-        "tri_cand": epi_ok & tri_candidate,
+        "tracked_px": tracked_px,
+        "ok": ok,
         "left_point": lp,
     }

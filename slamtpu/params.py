@@ -73,6 +73,11 @@ class Params:
     # BA bug; measured now: 30-frame synthetic stereo ATE 0.088 m with 17
     # keyframes deferred vs 0.129 m with 27 keyframes synchronous.
     defer_ba: bool = True
+    # Device dtype for uploaded camera images. float16 halves the largest
+    # per-frame H2D transfer (~1.8 MB at KITTI size, ~20 ms of tunnel
+    # latency); quantization (~1e-3 on [0, 1]) sits far below photometric
+    # noise and every kernel upcasts to f32 before filtering.
+    image_dtype: str = "float16"
     # Run mapper/estimator inline (lock-step) instead of worker threads.
     # The reference example drains all queues per frame anyway
     # (example/kitty/main.jl:46-54), so lock-step is the honest default.
