@@ -101,8 +101,14 @@ class Estimator:
         obs_in_covmap, obs_kfid, obs_mpid = [], [], []
         poses_remap, points_remap = [], []
 
+        # Hot loop: ~8k (point, observer) visits per keyframe of pure
+        # Python — hoist the dict lookups and defer array conversions to
+        # the padding step (was ~100 ms of the per-keyframe budget).
+        frames_map_get = mm.frames_map.get
+        map_points_get = mm.map_points.get
+
         for co_kfid, score in covisibility_map.items():
-            co_frame = mm.get_keyframe(co_kfid)
+            co_frame = frames_map_get(co_kfid)
             if co_frame is None:
                 frame.remove_covisible_kf(co_kfid)
                 continue
@@ -119,7 +125,7 @@ class Estimator:
                 if kpid in processed_keypoints_ids:
                     continue
                 processed_keypoints_ids.add(kpid)
-                mp = mm.get_mappoint(kpid)
+                mp = map_points_get(kpid)
                 if mp is None:
                     continue
                 if mp.is_bad():
@@ -134,26 +140,23 @@ class Estimator:
                 for ob_kfid in mp.get_observers():
                     if ob_kfid > frame.kfid:
                         continue
-                    ob_frame = mm.get_keyframe(ob_kfid)
+                    ob_frame = frames_map_get(ob_kfid)
                     if ob_frame is None:
                         mm.remove_mappoint_obs(kpid, ob_kfid)
                         continue
-                    ob_pixel = ob_frame.get_keypoint_unpx(kpid)
-                    if ob_pixel is None:
+                    ob_kp = ob_frame.keypoints.get(kpid)
+                    if ob_kp is None:
                         mm.remove_mappoint_obs(kpid, ob_kfid)
                         continue
 
-                    in_covmap = ob_kfid in covisibility_map
-                    is_constant = (
-                        ob_kfid == 0 or ob_kfid in constant_poses
-                        or not in_covmap
-                    )
-                    if not is_constant and in_covmap:
-                        is_constant = covisibility_map[ob_kfid] < min_cov_score
-
-                    if ob_kfid in poses:
-                        pose_order_id = poses[ob_kfid]
-                    else:
+                    pose_order_id = poses.get(ob_kfid)
+                    if pose_order_id is None:
+                        in_covmap = ob_kfid in covisibility_map
+                        is_constant = (
+                            ob_kfid == 0 or ob_kfid in constant_poses
+                            or not in_covmap
+                            or covisibility_map[ob_kfid] < min_cov_score
+                        )
                         pose_order_id = len(pose_vecs)
                         poses[ob_kfid] = pose_order_id
                         pose_vecs.append(ob_frame.get_cw_ba())
@@ -164,8 +167,8 @@ class Estimator:
 
                     obs_pose.append(pose_order_id)
                     obs_point.append(mp_order_id)
-                    obs_px.append(np.asarray(ob_pixel, np.float64))
-                    obs_in_covmap.append(in_covmap)
+                    obs_px.append(ob_kp.undistorted_pixel)
+                    obs_in_covmap.append(ob_kfid in covisibility_map)
                     obs_kfid.append(ob_kfid)
                     obs_mpid.append(kpid)
 

@@ -237,63 +237,61 @@ class Mapper:
         res = jax.device_get(res)
 
         # Epipolar gate re-decided on HOST in f64 from the raw tracked
-        # pixel — bit-identical to the legacy maybe_stereo_update
-        # (map_manager.jl:579-590); the device epi_ok is f32 and flips
-        # boundary points.
-        tracked_ok = np.asarray(res["ok"], bool)
-        tracked_px = np.asarray(res["tracked_px"], np.float64)
-        epi_host = np.zeros(len(ids), bool)
-        for i, kpid in enumerate(ids):
-            if not tracked_ok[i]:
-                continue
-            kp = frame.get_keypoint(kpid)
-            if kp is None:
-                continue
-            right_pixel = frame.right_camera.undistort_point(tracked_px[i])
-            if abs(kp.undistorted_pixel[0] - right_pixel[0]) <= 2.0:
-                epi_host[i] = True
+        # pixels — same decisions as the legacy maybe_stereo_update
+        # (map_manager.jl:579-590), vectorized over the batch (the
+        # per-point host loops cost ~40 ms per keyframe).
+        from ..camera import (
+            backproject_batch, project_batch, undistort_batch,
+        )
+
+        rc = frame.right_camera
+        tracked_ok = np.asarray(res["ok"], bool)[:n]
+        tracked_px = np.asarray(res["tracked_px"], np.float64)[:n]
+        und_arr = np.asarray(und, np.float64)[:n]
+        right_und_row = undistort_batch(rc, tracked_px)[:, 0]
+        epi_host = tracked_ok & (
+            np.abs(und_arr[:, 0] - right_und_row) <= 2.0
+        )
+
+        # Corrected right pixel: (left raw y, tracked x); batch the
+        # undistort/backproject that update_stereo_keypoint would do.
+        corrected = np.stack(
+            [np.asarray(raw_y, np.float64)[:n], tracked_px[:, 1]], axis=-1
+        )
+        right_und_full = undistort_batch(rc, corrected)
+        right_bear = backproject_batch(rc, right_und_full)
 
         # Depth/reprojection gates in f64 on host, identical to the legacy
-        # triangulate_stereo (mapper.jl:155-181).
+        # triangulate_stereo (mapper.jl:155-181), vectorized.
         max_error = p.max_reprojection_error
+        lp = np.asarray(res["left_point"], np.float64)[:n]
+        rp = lp @ rc.Ti0[:3, :3].T + rc.Ti0[:3, 3]
+        lrepr = np.linalg.norm(und_arr - project_batch(frame.camera, lp),
+                               axis=-1)
+        rrepr = np.linalg.norm(
+            right_und_full - project_batch(rc, rp), axis=-1
+        )
+        tri_ok = (
+            (lp[:, 2] >= 0.1) & (rp[:, 2] >= 0.1)
+            & (lrepr <= max_error) & (rrepr <= max_error)
+        )
+        wpts = lp @ frame.wc[:3, :3].T + frame.wc[:3, 3]
+
         n_good = 0
         n_tri = 0
+        tri_mask = np.asarray(tri_cand, bool)
         for i, kpid in enumerate(ids):
             if epi_host[i]:
-                # Host f64 correction + undistort/backproject (identical
-                # to the legacy update_stereo_keypoint path).
-                kp = frame.get_keypoint(kpid)
-                corrected = np.array([kp.pixel[0], tracked_px[i][1]])
-                frame.update_stereo_keypoint(kpid, corrected)
+                frame.update_stereo_keypoint_precomputed(
+                    kpid, corrected[i], right_und_full[i], right_bear[i]
+                )
                 n_good += 1
-            if not (epi_host[i] and tri_cand[i]):
+            if not (epi_host[i] and tri_mask[i]):
                 continue
-            lp = np.asarray(res["left_point"][i], np.float64)
-            if lp[2] < 0.1:
+            if not tri_ok[i]:
                 frame.remove_stereo_keypoint(kpid)
                 continue
-            rp = frame.right_camera.Ti0[:3, :3] @ lp \
-                + frame.right_camera.Ti0[:3, 3]
-            if rp[2] < 0.1:
-                frame.remove_stereo_keypoint(kpid)
-                continue
-            kp = frame.get_keypoint(kpid)
-            if kp is None:
-                continue
-            lrepr = np.linalg.norm(
-                kp.undistorted_pixel - frame.camera.project(lp)
-            )
-            if lrepr > max_error:
-                frame.remove_stereo_keypoint(kpid)
-                continue
-            rrepr = np.linalg.norm(
-                kp.right_undistorted_pixel - frame.right_camera.project(rp)
-            )
-            if rrepr > max_error:
-                frame.remove_stereo_keypoint(kpid)
-                continue
-            wpt = frame.project_camera_to_world(lp)
-            mm.update_mappoint(kpid, wpt)
+            mm.update_mappoint(kpid, wpts[i])
             n_tri += 1
         log.debug("[MP] Fused stereo: %d matched, %d triangulated.",
                   n_good, n_tri)
