@@ -167,15 +167,19 @@ class Mapper:
 
     def _stereo_fused(self, frame: Frame, kf: KeyFrame):
         import jax
-        from ..ops.stereo_step import stereo_step
-        from ..utils.padding import pad_rows, valid_mask
+        from ..ops.stereo_step import (
+            SK_DISP, SK_FLAGS, SK_PX, SK_UND, stereo_step,
+        )
 
         mm = self.map_manager
         p = self.params
         cap = p.keypoint_capacity
         scale3d = 0.5
 
-        ids, px, raw_y, und, prior, disp, tri_cand = [], [], [], [], [], [], []
+        # ONE packed (cap + 6, 7) upload — see ops/stereo_step.py layout.
+        state = np.zeros((cap + 6, 7), np.float32)
+        ids, und, raw_y, tri_cand = [], [], [], []
+        i = 0
         for kp in list(frame.keypoints.values()):
             mp = mm.get_mappoint(kp.id)
             if kp.is_3d:
@@ -189,49 +193,43 @@ class Mapper:
                     mm.remove_mappoint_obs(kp.id, frame.kfid)
                     continue
                 prior_d = scale3d * (projection - kp.pixel)
-                is_prior = True
+                flags = 3  # valid | prior
             else:
-                prior_d = np.zeros(2)
-                is_prior = False
+                prior_d = None
+                flags = 1
+            if i >= cap:
+                break
             ids.append(kp.id)
-            px.append(kp.pixel)
-            raw_y.append(kp.pixel[0])
+            state[i, SK_PX] = kp.pixel
+            state[i, SK_UND] = kp.undistorted_pixel
+            if prior_d is not None:
+                state[i, SK_DISP] = prior_d
+            state[i, SK_FLAGS] = flags
             und.append(kp.undistorted_pixel)
-            prior.append(is_prior)
-            disp.append(prior_d)
+            raw_y.append(kp.pixel[0])
             tri_cand.append(
                 (not kp.is_3d) and mp is not None and not mp.is_3d
             )
-        n = min(len(ids), cap)
+            i += 1
+        n = i
         if n == 0:
             return
-        ids = ids[:n]
-        tri_cand = tri_cand[:n]
 
         K4l = hm.mat3_to_4x4(frame.camera.K)
         P2 = hm.mat3_to_4x4(frame.right_camera.K) @ frame.right_camera.Ti0
+        misc = np.zeros(42, np.float32)
+        misc[0:16] = K4l.reshape(16)
+        misc[16:32] = P2.reshape(16)
+        misc[32:36] = frame.right_camera.intrinsics_array()
+        misc[36:40] = frame.right_camera.distortion_array()
+        state[cap:, :].reshape(42)[:] = misc
 
         res = stereo_step(
-            kf.left_pyramid, kf.right_image_dev,
-            jnp.asarray(pad_rows(px, cap, np.float32)),
-            jnp.asarray(pad_rows(np.asarray(raw_y, np.float32), cap)),
-            jnp.asarray(pad_rows(und, cap, np.float32)),
-            jnp.asarray(pad_rows(np.asarray(prior, bool), cap)),
-            jnp.asarray(pad_rows(disp, cap, np.float32)),
-            jnp.asarray(valid_mask(n, cap)),
-            jnp.asarray(pad_rows(np.asarray(tri_cand, bool), cap)),
-            jnp.asarray(K4l, jnp.float32), jnp.asarray(P2, jnp.float32),
-            jnp.asarray(frame.right_camera.Ti0, jnp.float32),
-            jnp.asarray(frame.wc, jnp.float32),
-            jnp.asarray(frame.camera.intrinsics_array()),
-            jnp.asarray(frame.camera.distortion_array()),
-            jnp.asarray(frame.right_camera.intrinsics_array()),
-            jnp.asarray(frame.right_camera.distortion_array()),
+            kf.left_pyramid, kf.right_image_dev, jnp.asarray(state),
             levels=p.pyramid_levels, window=p.window_size,
             iters=p.lk_iterations, eps=p.lk_epsilon,
             eig_thresh=p.lk_eigenvalue_threshold,
             pad=lk_pad(p.window_size), max_fb_distance=p.max_ktl_distance,
-            epipolar_error=2.0, max_error=p.max_reprojection_error,
             sigma=p.pyramid_sigma, min_active=p.lk_min_active,
         )
         res = jax.device_get(res)
