@@ -98,10 +98,15 @@ def make_scene(n_frames: int = 30, height: int = 240, width: int = 320,
                n_points: int = 1500, stereo: bool = False,
                baseline: float = 0.5, seed: int = 0,
                motion: str = "strafe",
-               sigma_range=(0.9, 1.8)) -> SyntheticScene:
+               sigma_range=(0.9, 1.8),
+               layout: str = "slab") -> SyntheticScene:
     """Random blob cloud + camera trajectory with exact ground truth.
 
     motion: "strafe" (sideways x-translation, good parallax) or "forward".
+    layout: "slab" (random depths — well-conditioned for 8-point) or
+            "ground" (a dominant ground plane, the degenerate regime for the
+            linear 8-point essential solve that Nister's 5-point handles —
+            per-frame KITTI looks like this; reference front_end.jl:305).
     """
     rng = np.random.default_rng(seed)
     fx = fy = 0.9 * width
@@ -113,18 +118,32 @@ def make_scene(n_frames: int = 30, height: int = 240, width: int = 320,
         Ti0[0, 3] = -baseline  # right camera at +x in world: x_r = x - b
         right_camera = Camera(fx, fy, cx, cy, height, width, Ti0=Ti0)
 
-    # Point cloud in a slab in front of the initial camera.
     span_x = 0.9 * width / fx
     span_y = 0.9 * height / fy
-    depths = rng.uniform(8.0, 30.0, n_points)
-    points = np.stack(
-        [
-            rng.uniform(-span_x, 2.5 * span_x, n_points) * depths,
-            rng.uniform(-span_y, span_y, n_points) * depths,
-            depths,
-        ],
-        axis=-1,
-    )
+    if layout == "ground":
+        # Camera at y=0 looking down +z; points on a nearly flat plane
+        # ~1.5 units below (y is down in camera coords). mm-scale roughness
+        # keeps blob texture without breaking the planar degeneracy.
+        depths = rng.uniform(4.0, 40.0, n_points)
+        points = np.stack(
+            [
+                rng.uniform(-2.0 * span_x, 3.5 * span_x, n_points) * depths,
+                1.5 + rng.normal(0.0, 0.01, n_points),
+                depths,
+            ],
+            axis=-1,
+        )
+    else:
+        # Point cloud in a slab in front of the initial camera.
+        depths = rng.uniform(8.0, 30.0, n_points)
+        points = np.stack(
+            [
+                rng.uniform(-span_x, 2.5 * span_x, n_points) * depths,
+                rng.uniform(-span_y, span_y, n_points) * depths,
+                depths,
+            ],
+            axis=-1,
+        )
 
     poses = []
     for i in range(n_frames):

@@ -13,6 +13,9 @@ import pickle
 
 
 def save_state(slam_manager, path: str) -> None:
+    # Drain in-flight pipelined frames + deferred BA so the snapshot is a
+    # consistent sequential state.
+    slam_manager.finish()
     mm = slam_manager.map_manager
     fe = slam_manager.front_end
     state = {
@@ -65,6 +68,8 @@ def load_state(slam_manager, path: str) -> None:
     fe.motion_model.prev_time = state["motion_model"]["prev_time"]
     fe.motion_model.prev_wc = state["motion_model"]["prev_wc"]
     fe.motion_model.log_rel_t = state["motion_model"]["log_rel_t"]
-    # Pyramids are rebuilt from the next frame (device state is transient).
+    # Pyramids are rebuilt from the next frame (device state is transient);
+    # the tracking pipeline restarts once fused-ready again.
     fe.previous_pyramid = None
     fe.current_pyramid = None
+    fe.pipeline_stop()

@@ -10,6 +10,8 @@ thresholds.
 from __future__ import annotations
 
 import logging
+from collections import deque
+from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -29,6 +31,18 @@ from .map_manager import MapManager
 from .motion_model import MotionModel
 
 log = logging.getLogger("slamtpu.fe")
+
+
+@dataclass
+class InflightFrame:
+    """One dispatched-but-not-applied tracked frame (pipelined mode)."""
+    fid: int
+    time: float
+    image_dev: object
+    right_dev: object
+    per_kp: object        # device future (cap, 12)
+    scalars: object       # device future (60,)
+    carry_after: object   # device carry pytree after this step
 
 
 class FrontEnd:
@@ -55,6 +69,13 @@ class FrontEnd:
         self._intrinsics = jnp.asarray(self._intrinsics_np)
         self._distortion = jnp.asarray(self._distortion_np)
         self._pad = lk_pad(params.window_size)
+        # -- pipelined (device-resident carry) state -----------------------
+        self.inflight: deque = deque()
+        self._carry = None
+        self._slot_ids: list = []
+        self._slot_has_mp = np.zeros(0, bool)
+        self._last_dispatch_time = -1.0
+        self._frame_reset_taken = False
 
     # -- entry (front_end.jl:58-73) -----------------------------------------
 
@@ -399,6 +420,172 @@ class FrontEnd:
             median_parallax=float(scalars[38])
         )
 
+    # ------------------------------------------------------------------
+    # Pipelined mode: device-resident carry (ops/track_step.py). The host
+    # dispatches frame N+1 off frame N's device-resident outputs BEFORE
+    # fetching frame N's results; bookkeeping applies one frame behind.
+    # Keyframes / resets invalidate the speculated dispatches: the carry is
+    # rebuilt from host state and the speculated frames replay.
+    # ------------------------------------------------------------------
+
+    @property
+    def pipeline_active(self) -> bool:
+        return self._carry is not None
+
+    def can_start_pipeline(self) -> bool:
+        """Same readiness conditions as the fused path (track_mono_fused)."""
+        return (
+            self.params.vision_initialized
+            and self.current_pyramid is not None
+            and not self.needs_bootstrap
+            and self.map_manager.frames_map.get(self.current_frame.kfid)
+            is not None
+        )
+
+    def start_pipeline(self):
+        """(Re)build the device carry from authoritative host state.
+
+        Runs at pipeline entry and after every keyframe / frame reset —
+        the only points where the keypoint set, map-point positions, or the
+        previous-keyframe join set change (create_keyframe, BA flush,
+        map filtering all run at keyframes in sequential mode).
+        """
+        from ..ops import track_step as ts
+
+        frame = self.current_frame
+        mm = self.map_manager
+        p = self.params
+        cap = p.keypoint_capacity
+        prev_kf = mm.frames_map[frame.kfid]
+
+        kp = np.zeros((cap, 10), np.float32)
+        ids: list = []
+        has_mp_list: list = []
+        for kpo in list(frame.keypoints.values()):
+            if kpo.is_3d and kpo.id not in mm.map_points:
+                mm.remove_mappoint_obs(kpo.id, frame.kfid)
+                continue
+            if len(ids) >= cap:
+                log.warning("[FE] keypoints exceed capacity %d.", cap)
+                break
+            j = len(ids)
+            flags = ts.FL_VALID
+            kp[j, ts.TK_PX] = kpo.pixel
+            if kpo.is_3d:
+                flags |= ts.FL_HAS_MP
+                kp[j, ts.TK_MP] = mm.map_points[kpo.id].get_position()
+            pkp = prev_kf.keypoints.get(kpo.id)
+            if pkp is not None:
+                flags |= ts.FL_JOIN
+                kp[j, ts.TK_PREV_UND] = pkp.undistorted_pixel[::-1]
+                kp[j, ts.TK_PREV_BEAR] = pkp.position[:2]
+            kp[j, ts.TK_FLAGS] = flags
+            ids.append(kpo.id)
+            has_mp_list.append(kpo.is_3d)
+
+        misc = np.zeros(48, np.float32)
+        misc[ts.MS_PREV_KF_CW] = prev_kf.cw.reshape(16)
+        misc[ts.MS_WC] = frame.wc.reshape(16)
+        misc[ts.MS_VEL] = self.motion_model.log_rel_t
+        misc[ts.MS_APPLY_5PT] = 1.0 if mm.nb_keyframes > 2 else 0.0
+        misc[ts.MS_HAS_PREV] = (
+            1.0 if self.motion_model.prev_time >= 0 else 0.0
+        )
+        misc[ts.MS_INTRINSICS] = self._intrinsics_np
+        misc[ts.MS_DISTORTION] = self._distortion_np
+
+        self._carry = {
+            "pyr": self.current_pyramid,
+            "kp": jnp.asarray(kp),
+            "misc": jnp.asarray(misc),
+        }
+        self._slot_ids = ids
+        self._slot_has_mp = np.asarray(has_mp_list, bool)
+        self._last_dispatch_time = self.motion_model.prev_time
+
+    def pipeline_dispatch(self, fid: int, image_dev, right_dev,
+                          time: float):
+        from ..ops.track_step import track_step
+
+        p = self.params
+        dt = (
+            0.0 if self._last_dispatch_time < 0
+            else time - self._last_dispatch_time
+        )
+        self._last_dispatch_time = time
+        with TIMERS.stage("fe.pipe.dispatch"):
+            new_carry, per_kp, scalars = track_step(
+                self._carry, image_dev, jnp.float32(dt),
+                self._ransac_key(2, fid),
+                levels=p.pyramid_levels, window=p.window_size,
+                iters=p.lk_iterations, eps=p.lk_epsilon,
+                eig_thresh=p.lk_eigenvalue_threshold, pad=self._pad,
+                max_fb_distance=p.max_ktl_distance,
+                essential_hypotheses=p.ransac_essential_hypotheses,
+                pnp_hypotheses=p.ransac_pnp_hypotheses,
+                threshold=p.max_reprojection_error,
+                min_active=p.lk_min_active, sigma=p.pyramid_sigma,
+                height=self.current_frame.camera.height,
+                width=self.current_frame.camera.width,
+            )
+        self._carry = new_carry
+        rec = InflightFrame(fid, time, image_dev, right_dev,
+                            per_kp, scalars, new_carry)
+        self.inflight.append(rec)
+        # Start the D2H copy early where the backend supports it so the
+        # apply-side fetch overlaps the next frame's exec.
+        for buf in (per_kp, scalars):
+            try:
+                buf.copy_to_host_async()
+            except Exception:
+                pass
+        return rec
+
+    def pipeline_apply(self, rec: InflightFrame, per_kp, scalars,
+                       slam_io=None) -> bool:
+        """Host bookkeeping for an applied frame — identical semantics to
+        track_mono_fused (predict + _apply_fused), one frame behind the
+        dispatch. Returns the keyframe decision."""
+        frame = self.current_frame
+        prev_kf = self.map_manager.frames_map[frame.kfid]
+        self._frame_reset_taken = False
+        new_pose = self.motion_model.predict(frame.wc, rec.time)
+        frame.set_wc(new_pose, slam_io)
+        n = len(self._slot_ids)
+        attempted = per_kp[:n, 11] > 0
+        with TIMERS.stage("fe.pipe.apply"):
+            return self._apply_fused(
+                (per_kp, scalars), self._slot_ids, attempted,
+                self._slot_has_mp, frame, prev_kf, rec.time, slam_io,
+            )
+
+    @property
+    def frame_reset_taken(self) -> bool:
+        return self._frame_reset_taken
+
+    def pipeline_discard(self):
+        """Drop speculated dispatches (their carry is stale after a
+        keyframe/reset); return their inputs for replay post-resync."""
+        replay = [
+            (r.fid, r.time, r.image_dev, r.right_dev) for r in self.inflight
+        ]
+        self.inflight.clear()
+        self._carry = None
+        return replay
+
+    def pipeline_stop(self):
+        self.inflight.clear()
+        self._carry = None
+        self._slot_ids = []
+        self._slot_has_mp = np.zeros(0, bool)
+        self._last_dispatch_time = -1.0
+
+    def adopt_pyramid(self, rec: InflightFrame):
+        """Make the applied frame's device pyramid current (keyframe
+        extraction/stereo and the next resync read it)."""
+        self.current_pyramid = rec.carry_after["pyr"]
+        self.previous_pyramid = None
+
     # -- P3P + refinement (front_end.jl:132-219) ----------------------------
 
     def compute_pose(self, slam_io=None) -> bool:
@@ -674,6 +861,7 @@ class FrontEnd:
     # -- reset (front_end.jl:488-512) ----------------------------------------
 
     def reset_frame(self):
+        self._frame_reset_taken = True
         for kpid in list(self.current_frame.keypoints.keys()):
             self.map_manager.remove_obs_from_current_frame(kpid)
         self.current_frame.keypoints.clear()
@@ -689,8 +877,11 @@ class FrontEnd:
         self.current_pyramid = None
         self.motion_model.reset()
         self.needs_bootstrap = True
+        self.pipeline_stop()
 
-    def _ransac_key(self, salt: int):
+    def _ransac_key(self, salt: int, fid: Optional[int] = None):
+        if fid is None:
+            fid = self.current_frame.id
         return jax.random.PRNGKey(
-            (self.params.seed * 1000003 + self.current_frame.id) * 7 + salt
+            (self.params.seed * 1000003 + fid) * 7 + salt
         )

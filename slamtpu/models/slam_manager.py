@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..camera import Camera
 from ..params import Params
+from ..utils.profiling import TIMERS
 from .extractor import Extractor
 from .frame import Frame
 from .front_end import FrontEnd
@@ -112,6 +113,15 @@ class SlamManager:
             if right_image is not None else None
         )
 
+        fe = self.front_end
+        if (self.params.pipelined and self.params.sequential
+                and fe.pipeline_active):
+            self.frame_id += 1
+            fe.pipeline_dispatch(self.frame_id, image_dev, right_dev, time)
+            while len(fe.inflight) >= self.params.pipeline_depth:
+                self._pipeline_apply_one()
+            return
+
         self.frame_id += 1
         self.current_frame.id = self.frame_id
         self.current_frame.time = time
@@ -122,25 +132,75 @@ class SlamManager:
             self.reset()
             return
 
-        if not is_kf_required:
+        if is_kf_required:
+            kf = KeyFrame(
+                self.current_frame.kfid,
+                self.front_end.current_pyramid if self.params.stereo else None,
+                right_dev if self.params.stereo else None,
+            )
+            if self.params.sequential:
+                ok = self.mapper.process(kf)
+                if self.params.reset_required:
+                    self.reset()
+                    return
+                if ok:
+                    new_kf = self.mapper.estimator.get_new_kf()
+                    if new_kf is not None:
+                        self.mapper.estimator.process(new_kf)
+            else:
+                self.mapper.add_new_kf(kf)
+
+        # Enter pipelined mode once tracking is fused-ready (post-init with
+        # a previous keyframe on record).
+        if (self.params.pipelined and self.params.sequential
+                and self.params.fused_front_end
+                and not fe.pipeline_active and fe.can_start_pipeline()):
+            fe.start_pipeline()
+
+    def _pipeline_apply_one(self):
+        """Fetch + apply the oldest in-flight frame; handle keyframes and
+        resets by discarding the speculated dispatches, resyncing the
+        device carry from host state, and replaying the speculated inputs."""
+        fe = self.front_end
+        rec = fe.inflight.popleft()
+        self.current_frame.id = rec.fid
+        self.current_frame.time = rec.time
+        with TIMERS.stage("fe.pipe.fetch"):
+            per_kp, scalars = jax.device_get((rec.per_kp, rec.scalars))
+        is_kf_required = fe.pipeline_apply(rec, per_kp, scalars, self.slam_io)
+
+        if self.params.reset_required:
+            fe.pipeline_stop()
+            self.reset()
             return
 
-        kf = KeyFrame(
-            self.current_frame.kfid,
-            self.front_end.current_pyramid if self.params.stereo else None,
-            right_dev if self.params.stereo else None,
-        )
-        if self.params.sequential:
+        if not is_kf_required and not fe.frame_reset_taken:
+            return
+
+        # The carry beyond this frame was computed against stale state.
+        replay = fe.pipeline_discard()
+        fe.adopt_pyramid(rec)
+
+        if is_kf_required:
+            self.map_manager.create_keyframe(rec.image_dev)
+            kf = KeyFrame(
+                self.current_frame.kfid,
+                fe.current_pyramid if self.params.stereo else None,
+                rec.right_dev if self.params.stereo else None,
+            )
             ok = self.mapper.process(kf)
             if self.params.reset_required:
+                fe.pipeline_stop()
                 self.reset()
                 return
             if ok:
                 new_kf = self.mapper.estimator.get_new_kf()
                 if new_kf is not None:
                     self.mapper.estimator.process(new_kf)
-        else:
-            self.mapper.add_new_kf(kf)
+
+        fe.start_pipeline()
+        for fid, time, image_dev, right_dev in replay:
+            fe.pipeline_dispatch(fid, image_dev, right_dev, time)
 
     # -- threaded mode ----------------------------------------------------------
 
@@ -179,7 +239,10 @@ class SlamManager:
             self._threads.append(t)
 
     def finish(self):
-        """Apply any deferred optimization results (call at sequence end)."""
+        """Drain the tracking pipeline and apply any deferred optimization
+        results (call at sequence end)."""
+        while self.front_end.inflight:
+            self._pipeline_apply_one()
         self.mapper.estimator.flush()
 
     def wait(self):

@@ -85,6 +85,18 @@ class Params:
     # The reference example drains all queues per frame anyway
     # (example/kitty/main.jl:46-54), so lock-step is the honest default.
     sequential: bool = True
+    # Pipelined tracking: keep the keypoint/pose state device-resident
+    # (ops/track_step.py) and dispatch frame N+1 before fetching frame N's
+    # results — host bookkeeping applies one frame behind. Hides the
+    # dispatch+fetch round trip (~26 ms RPC floor) plus the host
+    # assemble/upload behind device exec. Keyframes/resets fall back to a
+    # synchronous resync + replay of the speculated frames. Sequential
+    # mode only.
+    pipelined: bool = True
+    # Max dispatched-but-unapplied frames. 2 = apply frame N while the
+    # device executes frame N+1; deeper only helps once exec is shorter
+    # than the fetch+apply host work.
+    pipeline_depth: int = 2
 
     # -- runtime state (src/params.jl:79-81) --------------------------------
     vision_initialized: bool = False

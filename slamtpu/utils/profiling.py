@@ -9,15 +9,20 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict
-from typing import Dict
+from typing import Dict, List
 
 
 class StageTimers:
-    """Accumulates wall-clock per named stage; cheap enough to always run."""
+    """Accumulates wall-clock per named stage; cheap enough to always run.
+
+    Keeps every call's duration so the summary can separate warm-up
+    (first-call remote compiles / tunnel warm-up, which can be 100-1000x a
+    steady call on this backend) from steady state: `summary()` reports the
+    median/p90 and a drop-first mean next to the raw mean.
+    """
 
     def __init__(self):
-        self.totals: Dict[str, float] = defaultdict(float)
-        self.counts: Dict[str, int] = defaultdict(int)
+        self.durations: Dict[str, List[float]] = defaultdict(list)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -25,25 +30,31 @@ class StageTimers:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
+            self.durations[name].append(time.perf_counter() - t0)
+
+    def add(self, name: str, dt: float):
+        self.durations[name].append(dt)
 
     def summary(self) -> Dict[str, dict]:
-        return {
-            name: {
-                "total_s": round(self.totals[name], 4),
-                "calls": self.counts[name],
-                "mean_ms": round(
-                    1e3 * self.totals[name] / max(self.counts[name], 1), 3
-                ),
+        out = {}
+        for name in sorted(self.durations):
+            d = sorted(self.durations[name])
+            n = len(d)
+            total = sum(d)
+            steady = self.durations[name][1:] or self.durations[name]
+            out[name] = {
+                "total_s": round(total, 4),
+                "calls": n,
+                "mean_ms": round(1e3 * total / n, 3),
+                "steady_mean_ms": round(1e3 * sum(steady) / len(steady), 3),
+                "p50_ms": round(1e3 * d[n // 2], 3),
+                "p90_ms": round(1e3 * d[min(n - 1, (9 * n) // 10)], 3),
+                "max_ms": round(1e3 * d[-1], 3),
             }
-            for name in sorted(self.totals)
-        }
+        return out
 
     def reset(self):
-        self.totals.clear()
-        self.counts.clear()
+        self.durations.clear()
 
 
 TIMERS = StageTimers()
