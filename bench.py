@@ -88,6 +88,11 @@ def main():
     threaded = os.environ.get("BENCH_MODE", "sequential") == "threaded"
     params = Params(stereo=True, do_local_bundle_adjustment=True,
                     map_filtering=True, sequential=not threaded)
+    # A/B knobs (see PERF.md):
+    if os.environ.get("BENCH_PIPELINED"):
+        params.pipelined = os.environ["BENCH_PIPELINED"] == "1"
+    if os.environ.get("BENCH_KF_BYPASS"):
+        params.kf_parallax_bypass_stereo = os.environ["BENCH_KF_BYPASS"] == "1"
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)

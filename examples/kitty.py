@@ -58,6 +58,7 @@ def main():
             sm.add_image(left, t)
         if (i + 1) % 50 == 0:
             print(f"frame {i + 1}/{n}  kfs={sm.map_manager.nb_keyframes}")
+    sm.wait()  # drain the tracking pipeline + deferred BA
     t2 = time.perf_counter()
     print(f"SLAM took {t2 - t1:.1f}s ({n / (t2 - t1):.1f} FPS)")
 

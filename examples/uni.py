@@ -51,6 +51,8 @@ def main():
         sm.add_image(frame, i / fps)
         if args.n_frames and i + 1 >= args.n_frames:
             break
+    if sm is not None:
+        sm.wait()  # drain the tracking pipeline + deferred BA
 
     saver.save(args.save_dir)
     print(f"Saved trajectory to {args.save_dir}")

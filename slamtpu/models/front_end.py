@@ -797,10 +797,13 @@ class FrontEnd:
             median_parallax = self.compute_parallax(
                 prev_kf.kfid, compensate_rotation=True, only_2d=False,
             )
-        # Stereo has metric depth, so keyframe need is driven by 3D-point
-        # decay, not parallax (the reference's "TODO option for stereo",
-        # front_end.jl:381-385).
-        cx = median_parallax >= p.initial_parallax / 2.0 or p.stereo
+        # front_end.jl:381-385. The optional stereo bypass ("TODO || stereo")
+        # drops the parallax gate where stereo depth makes it redundant —
+        # but it lets the 3D-decay conditions fire every other frame, so the
+        # reference's shipped gate is the default (params.py).
+        cx = median_parallax >= p.initial_parallax / 2.0 or (
+            p.stereo and p.kf_parallax_bypass_stereo
+        )
         c0 = median_parallax >= p.initial_parallax
         c1 = frame.nb_3d_kpts < 0.75 * prev_kf.nb_3d_kpts
         c2 = (frame.nb_occupied_cells < 0.5 * p.max_nb_keypoints

@@ -113,6 +113,145 @@ def multi_sequence_step(mesh: Mesh, *, levels: int = 2, window: int = 5):
     )
 
 
+def frontend_mesh_step(mesh: Mesh, *, levels: int = 2, window: int = 5,
+                       essential_hypotheses: int = 64,
+                       pnp_hypotheses: int = 64):
+    """The PRODUCTION fused per-frame program (ops/frontend_step.py —
+    pyramid + KLT + epipolar filter + P3P + PnP), batched over sequences on
+    the "data" mesh axis with the keypoint axis sharded on "model".
+
+    Images/pyramids are replicated within a sequence; the per-keypoint LK
+    solve and RANSAC scoring are shard-local, and the cross-keypoint
+    reductions (inlier counts, structure sums, median bisection) become XLA
+    all-reduces over ICI inserted from the sharding annotations alone.
+    """
+    from ..ops.frontend_step import frontend_step
+    from ..ops.image import lk_pyramid_impl
+
+    pad = lk_pad(window)
+
+    def one_seq(img_prev, img_cur, px, valid, prior, disp, mp_pos, has_mp,
+                prev_und_xy, prev_bear_xy, has_join, R_comp, theta_pred,
+                intrinsics, dist, key):
+        pyr1 = lk_pyramid_impl(img_prev, levels=levels, pad=pad)
+        pyr2 = lk_pyramid_impl(img_cur, levels=levels, pad=pad)
+        n = px.shape[0]
+        res = frontend_step(
+            pyr1, pyr2, px, valid, prior, disp, mp_pos, has_mp,
+            jnp.arange(n, dtype=jnp.int32), has_join & valid,
+            prev_und_xy, prev_bear_xy, R_comp, theta_pred,
+            intrinsics, dist, key,
+            levels=levels, window=window, pad=pad,
+            essential_hypotheses=essential_hypotheses,
+            pnp_hypotheses=pnp_hypotheses,
+        )
+        return (
+            res["new_px"], res["ok"], res["ess_outlier"], res["p3p_inliers"],
+            res["pnp_theta"], res["median_parallax"],
+            res["p3p_n_inliers"].astype(jnp.int32),
+        )
+
+    fn = jax.vmap(
+        one_seq,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, 0),
+    )
+
+    img_s = NamedSharding(mesh, P("data", None, None))
+    kp2_s = NamedSharding(mesh, P("data", "model", None))
+    kp1_s = NamedSharding(mesh, P("data", "model"))
+    vec_s = NamedSharding(mesh, P("data", None))
+    mat_s = NamedSharding(mesh, P("data", None, None))
+    scal_s = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    return jax.jit(
+        fn,
+        in_shardings=(img_s, img_s, kp2_s, kp1_s, kp1_s, kp2_s, kp2_s,
+                      kp1_s, kp2_s, kp2_s, kp1_s, mat_s, vec_s, repl, repl,
+                      vec_s),
+        out_shardings=(kp2_s, kp1_s, kp1_s, kp1_s, vec_s, scal_s, scal_s),
+    )
+
+
+def make_frontend_inputs(batch: int, n_points: int, height: int, width: int,
+                         seed: int = 0):
+    """Synthetic batched inputs for the production frontend step: a blob
+    scene observed from an identity pose with known 3D points (so P3P/PnP
+    have a consistent geometry)."""
+    rng = np.random.default_rng(seed)
+    fx = fy = 0.9 * width
+    cx, cy = width / 2.0, height / 2.0
+    intrinsics = np.array([fx, fy, cx, cy], np.float32)
+    dist = np.zeros(4, np.float32)
+
+    imgs_prev = np.zeros((batch, height, width), np.float32)
+    px = np.zeros((batch, n_points, 2), np.float32)
+    mp_pos = np.zeros((batch, n_points, 3), np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    for b in range(batch):
+        img = np.zeros((height, width))
+        pts = np.stack(
+            [
+                rng.uniform(10, height - 10, n_points),
+                rng.uniform(10, width - 10, n_points),
+            ],
+            axis=-1,
+        )
+        for (py, pxx) in pts:
+            s = rng.uniform(1.2, 2.2)
+            img += rng.uniform(0.4, 1.0) * np.exp(
+                -(((yy - py) ** 2) + (xx - pxx) ** 2) / (2 * s * s)
+            )
+        imgs_prev[b] = (img / max(img.max(), 1e-6)).astype(np.float32)
+        px[b] = pts
+        z = rng.uniform(5.0, 15.0, n_points)
+        mp_pos[b] = np.stack(
+            [(pts[:, 1] - cx) / fx * z, (pts[:, 0] - cy) / fy * z, z],
+            axis=-1,
+        )
+    imgs_cur = imgs_prev.copy()
+
+    valid = np.ones((batch, n_points), bool)
+    has_mp = np.zeros((batch, n_points), bool)
+    has_mp[:, : n_points // 2] = True
+    prior = has_mp.copy()
+    disp = np.zeros((batch, n_points, 2), np.float32)
+    prev_und = px[..., ::-1].copy()                       # (x, y)
+    prev_bear = np.stack(
+        [(px[..., 1] - cx) / fx, (px[..., 0] - cy) / fy], axis=-1
+    ).astype(np.float32)
+    has_join = np.ones((batch, n_points), bool)
+    R_comp = np.tile(np.eye(3, dtype=np.float32), (batch, 1, 1))
+    theta_pred = np.zeros((batch, 6), np.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(batch))
+    return (imgs_prev, imgs_cur, px, valid, prior, disp, mp_pos, has_mp,
+            prev_und, prev_bear, has_join, R_comp, theta_pred, intrinsics,
+            dist, keys)
+
+
+def dryrun_frontend(n_devices: int, batch: int | None = None,
+                    height: int = 48, width: int = 64, n_points: int = 64):
+    """Compile + run the sharded PRODUCTION frontend step on tiny shapes."""
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape["data"]
+    sp = mesh.shape["model"]
+    if batch is None:
+        batch = dp
+    n_points = -(-max(n_points, sp) // sp) * sp
+
+    args = make_frontend_inputs(batch, n_points, height, width)
+    step = frontend_mesh_step(mesh)
+    out = step(*[jnp.asarray(a) for a in args])
+    jax.block_until_ready(out)
+    new_px, ok, ess_out, p3p_in, pnp_theta, med_par, p3p_n = out
+    assert new_px.shape == args[2].shape
+    return {
+        "mesh": dict(mesh.shape),
+        "tracked": int(np.asarray(ok).sum()),
+        "p3p_inliers": [int(v) for v in np.asarray(p3p_n)],
+    }
+
+
 def dryrun(n_devices: int, batch: int | None = None, height: int = 48,
            width: int = 64, n_points: int = 32):
     """Compile + execute one sharded multi-sequence step on tiny shapes."""
@@ -158,8 +297,12 @@ def dryrun(n_devices: int, batch: int | None = None, height: int = 48,
     jax.block_until_ready((new_points, ok, new_theta, cost))
     assert new_points.shape == points.shape
     assert new_theta.shape == theta.shape
+    # The production fused frontend program, sharded the same way.
+    frontend_info = dryrun_frontend(n_devices, batch=batch,
+                                    height=height, width=width)
     return {
         "mesh": dict(mesh.shape),
         "tracked": int(np.asarray(ok).sum()),
         "cost": [float(c) for c in np.asarray(cost)],
+        "frontend": frontend_info,
     }

@@ -24,7 +24,9 @@ class Params:
     do_local_matching: bool = False
 
     filtering_ratio: float = 0.9
-    map_filtering: bool = False
+    # The reference runs map filtering unconditionally from the estimator
+    # (estimator.jl:104, 358-406); it only engages past keyframe id 20.
+    map_filtering: bool = True
 
     do_local_bundle_adjustment: bool = True
     max_projection_distance: float = 2.0
@@ -55,6 +57,12 @@ class Params:
     ba_window: int = 5
     # Deterministic seed for RANSAC sampling.
     seed: int = 0
+    # Keyframe decision: skip the median-parallax gate (cx) in stereo mode.
+    # The reference leaves this as a TODO (front_end.jl:381 "TODO || stereo")
+    # and ships the parallax gate; round-2 shipped the bypass, which let the
+    # 3D-decay conditions fire a keyframe every other frame (31 KFs / 60
+    # bench frames) and cost ATE. Default = reference behavior.
+    kf_parallax_bypass_stereo: bool = False
     # Run the whole post-init per-frame step as one fused device program
     # (one round trip per frame) instead of separate kernel calls.
     fused_front_end: bool = True

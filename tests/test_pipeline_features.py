@@ -24,6 +24,7 @@ def run_scene(params, scene, n=None, saver=None):
             sm.add_stereo_image(left, right, float(scene.timestamps[i]))
         else:
             sm.add_image(left, float(scene.timestamps[i]))
+    sm.wait()  # drain the tracking pipeline + deferred BA
     return sm
 
 

@@ -35,6 +35,7 @@ def test_mono_pipeline_tracks_trajectory():
     for i in range(len(scene)):
         left, _ = scene.frame(i)
         sm.add_image(left, float(scene.timestamps[i]))
+    sm.wait()  # drain the tracking pipeline + deferred BA
 
     assert not params.reset_required
     assert params.vision_initialized

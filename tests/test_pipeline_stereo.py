@@ -36,6 +36,7 @@ def test_stereo_pipeline_metric_scale():
     for i in range(len(scene)):
         left, right = scene.frame(i)
         sm.add_stereo_image(left, right, float(scene.timestamps[i]))
+    sm.wait()  # drain the tracking pipeline + deferred BA
 
     assert not params.reset_required
     assert sm.map_manager.nb_keyframes >= 2
