@@ -163,6 +163,344 @@ class Mapper:
         self.estimator.add_new_kf(new_keyframe)
         return True
 
+    # -- fused KEYFRAME step: detection + stereo + stereo/temporal DLT in
+    # ONE device program (ops/keyframe_step.py). Pipelined-mode fast path
+    # replacing create_keyframe + process for stereo without descriptors. --
+
+    def process_fused_keyframe(self, left_pyramid, right_dev) -> bool:
+        """Returns False if a reset was triggered (same contract as
+        process). Collapses the keyframe path's three dispatch+fetch round
+        trips (extract / stereo / temporal DLT) into one."""
+        import jax
+        from ..ops import keyframe_step as ks
+
+        mm = self.map_manager
+        p = self.params
+        frame = self.current_frame
+        ext = mm.extractor
+
+        with mm.map_lock, TIMERS.stage("mp.kf_fused"):
+            mm.prepare_frame()  # sets frame.kfid (map_manager.jl:79-96)
+
+            with TIMERS.stage("mp.kf_fused.assemble"):
+                state, meta = self._assemble_keyframe_state(frame)
+            (ids, is3d_l, tri_cand, group_data, deferred_removals,
+             n_old) = meta
+
+            with TIMERS.stage("mp.kf_fused.dispatch"):
+                res = ks.keyframe_step(
+                    left_pyramid, right_dev, jnp.asarray(state),
+                    levels=p.pyramid_levels, window=p.window_size,
+                    iters=p.lk_iterations, eps=p.lk_epsilon,
+                    eig_thresh=p.lk_eigenvalue_threshold,
+                    pad=lk_pad(p.window_size),
+                    max_fb_distance=p.max_ktl_distance,
+                    sigma=p.pyramid_sigma, min_active=p.lk_min_active,
+                    cell_size=ext.cell_size, radius=ext.radius,
+                    min_response=ext.min_response,
+                    height=frame.camera.height, width=frame.camera.width,
+                )
+            with TIMERS.stage("mp.kf_fused.fetch"):
+                per_slot, n_new = jax.device_get(res)
+            n_new = int(n_new)
+
+            # New keypoints in the kernel's admitted order == the classic
+            # host admission order (row-major cell, then rank).
+            id_start = mm.current_mappoint_id
+            if n_new:
+                det = per_slot[n_old:n_old + n_new, 0:2].astype(np.float64)
+                mm.add_keypoints_to_frame(frame, det, [None] * n_new)
+                ids.extend(range(id_start, id_start + n_new))
+                is3d_l.extend([False] * n_new)
+                tri_cand.extend([True] * n_new)
+
+            mm.add_keyframe()  # deep clone (map_manager.jl:173-182)
+            new_keyframe = mm.get_keyframe(frame.kfid)
+            for kpid in deferred_removals:
+                mm.remove_mappoint_obs(kpid, frame.kfid)
+
+            with TIMERS.stage("mp.kf_fused.apply"):
+                self._apply_keyframe_results(
+                    new_keyframe, per_slot, ids, tri_cand, group_data,
+                    n_old + n_new,
+                )
+
+        # Bad-initialization reset checks (mapper.jl:104-116).
+        if self.params.vision_initialized:
+            if frame.id == 1 and new_keyframe.nb_3d_kpts < 30:
+                log.warning("[MP] Bad initialization detected. Resetting!")
+                self.params.reset_required = True
+                self.reset()
+                return False
+            if frame.id < 10 and new_keyframe.nb_3d_kpts < 3:
+                log.warning("[MP] Reset required. Nb 3D points: %d.",
+                            new_keyframe.nb_3d_kpts)
+                self.params.reset_required = True
+                self.reset()
+                return False
+
+        mm.update_frame_covisibility(new_keyframe)
+        self.estimator.add_new_kf(new_keyframe)
+        return True
+
+    def _assemble_keyframe_state(self, frame: Frame):
+        """One packed (cap + groups + misc, 16) upload for keyframe_step."""
+        from ..ops import keyframe_step as ks
+
+        mm = self.map_manager
+        p = self.params
+        cap = p.keypoint_capacity
+        ext = mm.extractor
+        scale3d = 0.5
+
+        state = np.zeros((ks.state_rows(cap), 16), np.float32)
+        state[:cap, ks.KF_GROUP] = -1.0
+        K4l = hm.mat3_to_4x4(frame.camera.K)
+
+        ids: list = []
+        is3d_l: list = []
+        tri_cand: list = []
+        group_of: Dict[int, int] = {}
+        group_data: list = []  # (kfid, rel_pose, rel_pose_inv)
+        deferred_removals: list = []
+        i = 0
+        for kp in list(frame.keypoints.values()):
+            mp = mm.get_mappoint(kp.id)
+            if i >= cap:
+                log.warning("[MP] keyframe state exceeds capacity %d.", cap)
+                break
+            if kp.is_3d:
+                if mp is None:
+                    deferred_removals.append(kp.id)
+                    continue
+                projection = frame.project_world_to_right_image_distort(
+                    mp.get_position()
+                )
+                if not frame.in_right_image(projection):
+                    # Keyframe observation dropped (on the clone, after it
+                    # exists) but the keypoint keeps tracking in the
+                    # front-end — occupancy-only row (placeholder id keeps
+                    # state rows and host arrays aligned).
+                    deferred_removals.append(kp.id)
+                    state[i, ks.KF_PX] = kp.pixel
+                    state[i, ks.KF_FLAGS] = ks.KFL_OCCUPY
+                    ids.append(None)
+                    is3d_l.append(False)
+                    tri_cand.append(False)
+                    i += 1
+                    continue
+                flags = ks.KFL_VALID | ks.KFL_PRIOR
+                state[i, ks.KF_DISP] = scale3d * (projection - kp.pixel)
+            else:
+                flags = ks.KFL_VALID
+
+            state[i, ks.KF_PX] = kp.pixel
+            state[i, ks.KF_UND] = kp.undistorted_pixel
+
+            # Temporal-DLT candidacy (mapper.jl:185-232): 2D, live 2D map
+            # point, >= 2 observers, first observer is an older keyframe.
+            if (not kp.is_3d) and mp is not None and not mp.is_3d:
+                observers = mp.get_observers()
+                if len(observers) >= 2 and observers[0] != frame.kfid:
+                    okf = mm.get_keyframe(observers[0])
+                    okp = okf.get_keypoint(kp.id) if okf is not None else None
+                    if okp is not None:
+                        gi = group_of.get(observers[0])
+                        if gi is None and len(group_data) < ks.N_GROUPS:
+                            rel_pose = okf.cw @ frame.wc
+                            # Zero baseline: DLT degenerate, skip (see
+                            # triangulate_temporal).
+                            if np.linalg.norm(rel_pose[:3, 3]) >= 1e-9:
+                                gi = len(group_data)
+                                group_of[observers[0]] = gi
+                                group_data.append(
+                                    (observers[0], rel_pose,
+                                     hm.se3_inv(rel_pose))
+                                )
+                        if gi is not None:
+                            state[i, ks.KF_OBS_UND] = (
+                                okp.undistorted_pixel[::-1]
+                            )
+                            state[i, ks.KF_GROUP] = gi
+                            flags |= ks.KFL_TEMPORAL
+
+            state[i, ks.KF_FLAGS] = flags
+            ids.append(kp.id)
+            is3d_l.append(kp.is_3d)
+            tri_cand.append(
+                (not kp.is_3d) and mp is not None and not mp.is_3d
+            )
+            i += 1
+        n_old = i
+        for gi, (kfid, rel_pose, rel_inv) in enumerate(group_data):
+            state[cap + gi, :] = (K4l @ rel_inv).reshape(16)
+
+        misc = np.zeros(ks.N_MISC_ROWS * 16, np.float32)
+        misc[ks.MISC_P1] = K4l.reshape(16)
+        misc[ks.MISC_P2R] = (
+            hm.mat3_to_4x4(frame.right_camera.K) @ frame.right_camera.Ti0
+        ).reshape(16)
+        misc[ks.MISC_INTR_R] = frame.right_camera.intrinsics_array()
+        misc[ks.MISC_DIST_R] = frame.right_camera.distortion_array()
+        misc[ks.MISC_INTR_L] = frame.camera.intrinsics_array()
+        misc[ks.MISC_DIST_L] = frame.camera.distortion_array()
+        misc[ks.MISC_N_OLD] = n_old
+        # Detection budgets (extractor.jl:74-76 + map_manager.jl:98-114).
+        n_cells = ext.grid_resolution[0] * ext.grid_resolution[1]
+        if frame.nb_keypoints >= ext.max_points:
+            nb_to_detect = 0
+            n_cell_detect = 0
+        else:
+            nb_to_detect = max(
+                self.params.max_nb_keypoints - frame.nb_occupied_cells, 0
+            )
+            n_cell_detect = -(-(ext.max_points - frame.nb_keypoints)
+                              // n_cells)
+        misc[ks.MISC_CELL_DETECT] = n_cell_detect
+        misc[ks.MISC_NB_DETECT] = nb_to_detect
+        state[cap + ks.N_GROUPS:, :] = misc.reshape(ks.N_MISC_ROWS, 16)
+
+        return state, (ids, is3d_l, tri_cand, group_data,
+                       deferred_removals, n_old)
+
+    def _apply_keyframe_results(self, frame: Frame, per_slot, ids,
+                                tri_cand, group_data, n_tot):
+        """Host f64 gates + bookkeeping on the keyframe clone — the same
+        decisions as _stereo_fused + triangulate_temporal."""
+        from ..camera import (
+            backproject_batch, project_batch, undistort_batch,
+        )
+        from ..ops import keyframe_step as ks
+
+        mm = self.map_manager
+        p = self.params
+        rc = frame.right_camera
+        max_error = p.max_reprojection_error
+
+        tracked_ok = per_slot[:n_tot, 4] > 0
+        tracked_px = np.asarray(per_slot[:n_tot, 2:4], np.float64)
+        lp = np.asarray(per_slot[:n_tot, 5:8], np.float64)
+        Xt = np.asarray(per_slot[:n_tot, 8:12], np.float64)
+
+        # Host f64 per-keypoint data from the CLONE (bit-matching the
+        # legacy decisions, which used host und/pixels).
+        und_arr = np.zeros((n_tot, 2))
+        raw_y = np.zeros(n_tot)
+        row_live = np.zeros(n_tot, bool)
+        kp_objs = []
+        for j, kpid in enumerate(ids):
+            kp = frame.get_keypoint(kpid)
+            kp_objs.append(kp)
+            if kp is None:
+                continue
+            und_arr[j] = kp.undistorted_pixel
+            raw_y[j] = kp.pixel[0]
+            row_live[j] = True
+
+        ok = tracked_ok & row_live
+        right_und_row = undistort_batch(rc, tracked_px)[:, 0]
+        epi = ok & (np.abs(und_arr[:, 0] - right_und_row) <= 2.0)
+
+        corrected = np.stack([raw_y, tracked_px[:, 1]], axis=-1)
+        right_und_full = undistort_batch(rc, corrected)
+        right_bear = backproject_batch(rc, right_und_full)
+
+        rp = lp @ rc.Ti0[:3, :3].T + rc.Ti0[:3, 3]
+        lrepr = np.linalg.norm(
+            und_arr - project_batch(frame.camera, lp), axis=-1
+        )
+        rrepr = np.linalg.norm(
+            right_und_full - project_batch(rc, rp), axis=-1
+        )
+        tri_ok = (
+            (lp[:, 2] >= 0.1) & (rp[:, 2] >= 0.1)
+            & (lrepr <= max_error) & (rrepr <= max_error)
+        )
+        wpts = lp @ frame.wc[:3, :3].T + frame.wc[:3, 3]
+
+        n_stereo = 0
+        n_tri = 0
+        for j, kpid in enumerate(ids):
+            if not row_live[j]:
+                continue
+            if epi[j]:
+                frame.update_stereo_keypoint_precomputed(
+                    kpid, corrected[j], right_und_full[j], right_bear[j]
+                )
+                n_stereo += 1
+            if not (epi[j] and tri_cand[j]):
+                continue
+            mp = mm.get_mappoint(kpid)
+            if mp is None or mp.is_3d:
+                continue
+            if not tri_ok[j]:
+                frame.remove_stereo_keypoint(kpid)
+                continue
+            mm.update_mappoint(kpid, wpts[j])
+            n_tri += 1
+        log.debug("[MP] Fused KF stereo: %d matched, %d triangulated.",
+                  n_stereo, n_tri)
+
+        # Temporal DLT gates (mapper.jl:239-260): gates only reject when
+        # parallax > 20 px (low-parallax acceptance).
+        n_temp = 0
+        for j, kpid in enumerate(ids):
+            if not row_live[j]:
+                continue
+            kp = kp_objs[j]
+            gi = None  # group index from the uploaded state row
+            # Recover candidacy from the per-slot upload conventions.
+            # (Rows without KFL_TEMPORAL had group -1 and Xt garbage; the
+            # assembly left their KF_OBS_UND zero. Track via group_data.)
+            # We stored group index in state; recompute candidacy here:
+            mp = mm.get_mappoint(kpid)
+            if mp is None or mp.is_3d or kp is None or kp.is_3d:
+                continue
+            observers = mp.get_observers()
+            if len(observers) < 2 or observers[0] == frame.kfid:
+                continue
+            okf = mm.get_keyframe(observers[0])
+            okp = okf.get_keypoint(kpid) if okf is not None else None
+            if okp is None:
+                continue
+            found = [g for g, gd in enumerate(group_data)
+                     if gd[0] == observers[0]]
+            if not found:
+                continue
+            _, rel_pose, rel_inv = group_data[found[0]]
+
+            parallax = np.linalg.norm(
+                okp.undistorted_pixel
+                - frame.camera.project(rel_pose[:3, :3] @ kp.position)
+            )
+            X = Xt[j]
+            if abs(X[3]) < 1e-12:
+                continue
+            left_point = X / X[3]
+            if left_point[2] < 0.1 and parallax > 20.0:
+                mm.remove_mappoint_obs(okp.id, frame.kfid)
+                continue
+            right_point = rel_inv @ left_point
+            if right_point[2] < 0.1 and parallax > 20.0:
+                mm.remove_mappoint_obs(okp.id, frame.kfid)
+                continue
+            lrepr_t = np.linalg.norm(
+                frame.camera.project(left_point[:3]) - okp.undistorted_pixel
+            )
+            if lrepr_t > max_error and parallax > 20.0:
+                mm.remove_mappoint_obs(okp.id, frame.kfid)
+                continue
+            rrepr_t = np.linalg.norm(
+                frame.camera.project(right_point[:3]) - kp.undistorted_pixel
+            )
+            if rrepr_t > max_error and parallax > 20.0:
+                mm.remove_mappoint_obs(okp.id, frame.kfid)
+                continue
+            wpt = okf.project_camera_to_world(left_point[:3])
+            mm.update_mappoint(kpid, wpt)
+            n_temp += 1
+        log.debug("[MP] Fused KF temporal: %d good.", n_temp)
+
     # -- fused stereo step (matching + gate + triangulation, one program) ---
 
     def _stereo_fused(self, frame: Frame, kf: KeyFrame):

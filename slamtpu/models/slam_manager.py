@@ -182,13 +182,23 @@ class SlamManager:
         fe.adopt_pyramid(rec)
 
         if is_kf_required:
-            self.map_manager.create_keyframe(rec.image_dev)
-            kf = KeyFrame(
-                self.current_frame.kfid,
-                fe.current_pyramid if self.params.stereo else None,
-                rec.right_dev if self.params.stereo else None,
+            use_fused_kf = (
+                self.params.fused_keyframe and self.params.stereo
+                and rec.right_dev is not None
+                and not self.params.do_local_matching
             )
-            ok = self.mapper.process(kf)
+            if use_fused_kf:
+                ok = self.mapper.process_fused_keyframe(
+                    fe.current_pyramid, rec.right_dev
+                )
+            else:
+                self.map_manager.create_keyframe(rec.image_dev)
+                kf = KeyFrame(
+                    self.current_frame.kfid,
+                    fe.current_pyramid if self.params.stereo else None,
+                    rec.right_dev if self.params.stereo else None,
+                )
+                ok = self.mapper.process(kf)
             if self.params.reset_required:
                 fe.pipeline_stop()
                 self.reset()

@@ -75,6 +75,11 @@ class Params:
     # "fused drift" was chaotic divergence seeded by compile-context f32
     # noise, not a defect); saves a keyframe round trip + ~80 ms.
     fused_stereo: bool = True
+    # Fused KEYFRAME program (pipelined mode, stereo, no descriptors):
+    # detection + stereo matching + stereo/temporal DLT in ONE dispatch +
+    # fetch (ops/keyframe_step.py) instead of three serialized round trips.
+    # Host re-makes all accept/reject gates in f64 as with fused_stereo.
+    fused_keyframe: bool = True
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —

@@ -70,6 +70,30 @@ def test_pipelined_drain_on_wait():
 
 
 @pytest.mark.slow
+def test_fused_keyframe_parity():
+    """The one-dispatch keyframe program (ops/keyframe_step.py) must match
+    the split path (extract + stereo + temporal DLT) at the map/ATE level:
+    the host re-makes every gate in f64 from the same tracked pixels."""
+    scene = make_scene(n_frames=10, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    sm_f, p_f, est_f, gt = _run(scene, pipelined=True, fused_keyframe=True)
+    sm_s, p_s, est_s, _ = _run(scene, pipelined=True, fused_keyframe=False)
+
+    assert not p_f.reset_required and not p_s.reset_required
+    assert len(est_f) == len(gt) and len(est_s) == len(gt)
+    total = np.linalg.norm(gt[-1] - gt[0])
+    err_f = ate_rmse(est_f.astype(np.float64), gt, align_scale=False)
+    err_s = ate_rmse(est_s.astype(np.float64), gt, align_scale=False)
+    assert err_f < 0.15 * total
+    assert err_s < 0.15 * total
+    assert abs(sm_f.map_manager.nb_keyframes
+               - sm_s.map_manager.nb_keyframes) <= 2
+    n3d_f = sum(1 for mp in sm_f.map_manager.map_points.values() if mp.is_3d)
+    n3d_s = sum(1 for mp in sm_s.map_manager.map_points.values() if mp.is_3d)
+    assert n3d_f > 50 and n3d_s > 50
+
+
+@pytest.mark.slow
 def test_planar_scene_fused_production_config():
     """Dominant ground plane through the PRODUCTION fused per-frame path
     (8-point + LS polish epipolar filter, five_point=False) — the regime
