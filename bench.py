@@ -93,6 +93,8 @@ def main():
         params.pipelined = os.environ["BENCH_PIPELINED"] == "1"
     if os.environ.get("BENCH_KF_BYPASS"):
         params.kf_parallax_bypass_stereo = os.environ["BENCH_KF_BYPASS"] == "1"
+    if os.environ.get("BENCH_LK_MIN_ACTIVE"):
+        params.lk_min_active = int(os.environ["BENCH_LK_MIN_ACTIVE"])
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)
@@ -140,6 +142,8 @@ def main():
 
     from slamtpu.utils.profiling import TIMERS
     print("stage timers:", json.dumps(TIMERS.summary()), file=sys.stderr)
+    print("removal causes:", json.dumps(sm.front_end.removal_counts),
+          file=sys.stderr)
     print(json.dumps({
         "metric": f"fps_{name}_stereo_e2e",
         "value": round(fps, 2),

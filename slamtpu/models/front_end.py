@@ -76,6 +76,8 @@ class FrontEnd:
         self._slot_has_mp = np.zeros(0, bool)
         self._last_dispatch_time = -1.0
         self._frame_reset_taken = False
+        # Diagnostic: cumulative keypoint-removal causes (bench prints it).
+        self.removal_counts = {"track": 0, "ess": 0, "p3p": 0, "pnp": 0}
 
     # -- entry (front_end.jl:58-73) -----------------------------------------
 
@@ -337,9 +339,11 @@ class FrontEnd:
         per_kp, scalars = res
         mm = self.map_manager
         n = len(ids)
+        rc = self.removal_counts
 
         # 1. KLT keypoint updates/removals (map_manager.jl:524-562).
         ok = per_kp[:n, 7] > 0
+        rc["track"] += int(np.sum(np.asarray(attempted) & ~ok))
         new_px = per_kp[:n, 0:2]
         und_px = per_kp[:n, 2:4]
         bearings = per_kp[:n, 4:7]
@@ -358,6 +362,7 @@ class FrontEnd:
         ess_gate = scalars[41] > 0
         ess_out = per_kp[:n, 8] > 0
         if ess_gate:
+            rc["ess"] += int(np.sum(ess_out))
             for i, kpid in enumerate(ids):
                 if ess_out[i]:
                     mm.remove_obs_from_current_frame(kpid)
@@ -388,6 +393,7 @@ class FrontEnd:
             has_mp_ok = (
                 ok & np.asarray(has_mp, bool) & ~(ess_out & bool(ess_gate))
             )
+            rc["p3p"] += int(np.sum(has_mp_ok & ~p3p_in))
             for i, kpid in enumerate(ids):
                 if has_mp_ok[i] and not p3p_in[i]:
                     mm.remove_obs_from_current_frame(kpid)
@@ -404,6 +410,7 @@ class FrontEnd:
                 self.reset_frame()
             else:
                 pnp_out = per_kp[:n, 10] > 0
+                rc["pnp"] += int(np.sum(has_mp_ok & p3p_in & pnp_out))
                 for i, kpid in enumerate(ids):
                     if has_mp_ok[i] and p3p_in[i] and pnp_out[i]:
                         mm.remove_obs_from_current_frame(kpid)
