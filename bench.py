@@ -95,6 +95,8 @@ def main():
         params.kf_parallax_bypass_stereo = os.environ["BENCH_KF_BYPASS"] == "1"
     if os.environ.get("BENCH_LK_MIN_ACTIVE"):
         params.lk_min_active = int(os.environ["BENCH_LK_MIN_ACTIVE"])
+    if os.environ.get("BENCH_LK_ITERS"):
+        params.lk_iterations = int(os.environ["BENCH_LK_ITERS"])
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)

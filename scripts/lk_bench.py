@@ -75,12 +75,51 @@ def main():
         print(f"{tag:34s} median {1e3 * sorted(ts)[len(ts) // 2]:7.1f} ms"
               f"   tracked {int(ok.sum())}/{n}")
 
+    def run_fb(tag, n_lanes, levels_):
+        """fb_track (single-lane cascade, no shadow) at a given lane count
+        and depth — separates per-block overhead from per-lane bandwidth."""
+        from slamtpu.ops.lucas_kanade import fb_track
+
+        px2 = np.zeros((n_lanes, 2), np.float32)
+        m = min(n, n_lanes)
+        px2[:m] = px[:m]
+        v2 = np.zeros(n_lanes, bool)
+        v2[:m] = True
+        args = (pyr1, pyr2, jnp.asarray(px2), jnp.zeros((n_lanes, 2),
+                jnp.float32), jnp.asarray(v2))
+        kw = dict(levels=levels_, window=window, iters=30, eps=1e-2,
+                  eig_thresh=1e-4, pad=pad, max_distance=1.0, min_active=16)
+        out = fb_track(*args, **kw)
+        jax.device_get(out)
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            got = jax.device_get(fb_track(*args, **kw))
+            ts.append(time.perf_counter() - t0)
+        ok = np.asarray(got[1])
+        print(f"{tag:34s} median {1e3 * sorted(ts)[len(ts) // 2]:7.1f} ms"
+              f"   tracked {int(ok.sum())}/{m}")
+
     sel = os.environ.get("LK_VARIANTS", "default").split(",")
     if "default" in sel:
         run("iters=30 min_active=16 (prod)", 30, 16)
         run("iters=30 min_active=0 (ref)", 30, 0)
         run("iters=15 min_active=16", 15, 16)
         run("iters=10 min_active=16", 10, 16)
+    if "fori" in sel:
+        os.environ["SLAMTPU_LK_FORI"] = "1"
+        fb_track_merged.clear_cache()
+        run("FORI iters=20 (fixed trip)", 20, 0)
+        run("FORI iters=12", 12, 0)
+        run("FORI iters=8", 8, 0)
+        os.environ.pop("SLAMTPU_LK_FORI", None)
+        fb_track_merged.clear_cache()
+    if "lanes" in sel:
+        run_fb("fb 1024 lanes, levels=3 (5 blk)", 1024, levels)
+        run_fb("fb 2048 lanes, levels=3 (5 blk)", 2048, levels)
+        run_fb("fb 512 lanes,  levels=3 (5 blk)", 512, levels)
+        run_fb("fb 1024 lanes, levels=2 (4 blk)", 1024, 2)
+        run_fb("fb 1024 lanes, levels=1 (3 blk)", 1024, 1)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,10 @@ class FrontEnd:
         self._slot_has_mp = np.zeros(0, bool)
         self._last_dispatch_time = -1.0
         self._frame_reset_taken = False
+        # Keyframe-cadence predictor (pipelined dispatch gating): id of the
+        # last keyframe-decision frame and the last observed KF interval.
+        self._last_kf_fid = 0
+        self._last_kf_interval = 3
         # Diagnostic: cumulative keypoint-removal causes (bench prints it).
         self.removal_counts = {"track": 0, "ess": 0, "p3p": 0, "pnp": 0}
 
@@ -509,6 +513,7 @@ class FrontEnd:
         self._slot_ids = ids
         self._slot_has_mp = np.asarray(has_mp_list, bool)
         self._last_dispatch_time = self.motion_model.prev_time
+        self._last_kf_fid = prev_kf.id
 
     def pipeline_dispatch(self, fid: int, image_dev, right_dev,
                           time: float):
@@ -569,6 +574,18 @@ class FrontEnd:
     @property
     def frame_reset_taken(self) -> bool:
         return self._frame_reset_taken
+
+    def predict_kf(self, fid: int) -> bool:
+        """Will frame `fid` likely be a keyframe? Used to gate speculative
+        dispatch: applying a predicted-KF frame BEFORE dispatching the next
+        one avoids discarding + replaying that dispatch (the steady bench
+        cadence makes this ~80% predictable). Wrong predictions only cost
+        one synchronous frame (~a fetch RPC), not correctness."""
+        return fid - self._last_kf_fid >= max(2, self._last_kf_interval)
+
+    def note_kf(self, fid: int):
+        self._last_kf_interval = max(1, fid - self._last_kf_fid)
+        self._last_kf_fid = fid
 
     def pipeline_discard(self):
         """Drop speculated dispatches (their carry is stale after a

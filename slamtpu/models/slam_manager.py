@@ -116,11 +116,24 @@ class SlamManager:
         fe = self.front_end
         if (self.params.pipelined and self.params.sequential
                 and fe.pipeline_active):
-            self.frame_id += 1
-            fe.pipeline_dispatch(self.frame_id, image_dev, right_dev, time)
-            while len(fe.inflight) >= self.params.pipeline_depth:
+            # Apply a predicted-keyframe frame BEFORE dispatching on top of
+            # it: a correct prediction avoids discarding + replaying the
+            # new dispatch against the pre-keyframe carry.
+            while (fe.inflight and fe.pipeline_active
+                   and fe.predict_kf(fe.inflight[0].fid)):
                 self._pipeline_apply_one()
-            return
+            if not fe.pipeline_active:
+                # A reset mid-apply tore the pipeline down; fall through to
+                # the classic path for this frame.
+                pass
+            else:
+                self.frame_id += 1
+                fe.pipeline_dispatch(
+                    self.frame_id, image_dev, right_dev, time
+                )
+                while len(fe.inflight) >= self.params.pipeline_depth:
+                    self._pipeline_apply_one()
+                return
 
         self.frame_id += 1
         self.current_frame.id = self.frame_id
@@ -177,6 +190,8 @@ class SlamManager:
         if not is_kf_required and not fe.frame_reset_taken:
             return
 
+        if is_kf_required:
+            fe.note_kf(rec.fid)
         # The carry beyond this frame was computed against stale state.
         replay = fe.pipeline_discard()
         fe.adopt_pyramid(rec)
@@ -217,6 +232,16 @@ class SlamManager:
     def _start_workers(self):
         def run_manager():
             while not self.exit_required:
+                # Backpressure: do not track ahead while the mapper still
+                # holds unprocessed keyframes — the keyframe decision reads
+                # 3D counts/covisibility that the mapper is about to change,
+                # and racing it snowballs the keyframe cadence (round-2
+                # threaded mode: 57 KFs / 60 frames). The reference example
+                # drains queues for the same reason
+                # (example/kitty/main.jl:46-54).
+                if self.mapper.keyframe_queue:
+                    _time.sleep(2e-3)
+                    continue
                 with self._queue_lock:
                     item = (
                         self._image_queue.pop(0) if self._image_queue else None

@@ -512,6 +512,23 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
         return it + 1, flow, running, ok, patch, base
 
     ok = ok & eig_ok
+
+    if _fixed_trip_loop():
+        # Fixed-trip variant: per-point eps/fail semantics are identical
+        # (converged/failed points stop advancing via the masks), only the
+        # GLOBAL early exit is dropped. The while_loop's exit condition is
+        # a cross-lane reduction -> scalar branch every iteration — a
+        # device sync that costs ~1 ms/iteration on this backend and
+        # dominates the level cost (measured: LK time is independent of
+        # the iteration budget because the early exit always fires first).
+        def body_i(it, carry):
+            return body((it,) + carry)[1:]
+
+        flow, _, ok, _, _ = jax.lax.fori_loop(
+            0, iters, body_i, (flow, ok, ok, patch0, base0)
+        )
+        return flow, ok
+
     stop_thresh = jnp.minimum(min_active, jnp.sum(ok) // 32)
 
     def cond(carry):
@@ -522,6 +539,15 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
         cond, body, (0, flow, ok, ok, patch0, base0)
     )
     return flow, ok
+
+
+def _fixed_trip_loop() -> bool:
+    """Trace-time switch: run LK solver loops with a static trip count
+    (lax.fori_loop) instead of the early-exit while_loop. Per-point results
+    are identical at equal iteration budget; set a smaller budget via
+    Params.lk_iterations when enabling (SLAMTPU_LK_FORI=1)."""
+    import os
+    return bool(os.environ.get("SLAMTPU_LK_FORI"))
 
 
 def _use_pallas_default() -> bool:
