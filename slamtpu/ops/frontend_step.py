@@ -124,9 +124,9 @@ def frontend_step(
     # costs milliseconds of gather latency on the tunnel-attached device).
     # The failed-prior retry (map_manager.jl:534-537) runs as shadow lanes
     # inside the SAME cascade (fb_shadow) instead of a second one.
-    from .lucas_kanade import fb_shadow
+    from .lucas_kanade import fb_cascade
 
-    new_px, ok, tracked_with_prior = fb_shadow(
+    new_px, ok, tracked_with_prior = fb_cascade(
         pyr_prev, pyr_cur, px, is3d_prior, disp_prior, valid,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
         eig_thresh=eig_thresh, pad=pad, max_distance=max_fb_distance,

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from .features import CELL_TOPK, _dilate, shi_tomasi_response
 from .frontend_step import _undistort_backproject
 from .image import lk_pyramid_impl
-from .lucas_kanade import fb_shadow
+from .lucas_kanade import fb_cascade
 from .mvg import triangulate_points
 
 # Per-slot packed columns (rows [0, cap) of the state upload).
@@ -176,7 +176,7 @@ def keyframe_step(
     ) | valid
 
     # ---- 3. stereo KLT over the combined set ------------------------------
-    tracked_px, ok, _ = fb_shadow(
+    tracked_px, ok, _ = fb_cascade(
         pyr_left, pyr_right, px_full, prior_mask, disp, valid_full,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
         eig_thresh=eig_thresh, pad=pad, max_distance=max_fb_distance,

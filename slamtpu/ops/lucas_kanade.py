@@ -791,6 +791,109 @@ def fb_shadow(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
     return new_px, ok, prior & ok_m
 
 
+# Lane budget for the compacted failed-prior retry cascade. Per-frame
+# prior failures are ~30-80 at the 1000-keypoint budget; overflowing points
+# simply fail (the reference retries all — measured never hit at 256).
+RETRY_CAP = 256
+
+
+def fb_retry_compact(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
+                     levels, prior_level=1, window=9, iters=30, eps=1e-2,
+                     eig_thresh=1e-4, pad=17, max_distance=1.0,
+                     min_active=0):
+    """Forward-backward KLT with the failed-prior retry COMPACTED.
+
+    Same semantics as fb_shadow (and the reference's sequential retry,
+    map_manager.jl:534-537): prior points whose forward-backward track
+    failed are re-tracked as plain points from the coarsest level. But
+    instead of doubling every level block to 2N lanes, the few failures are
+    cumsum-compacted into a RETRY_CAP-lane second cascade — LK level cost
+    is linear in lanes (~4-5 ms per 1024 lanes per block on TPU), so the
+    shadow formulation paid ~22 ms/frame for lanes that were ~95% idle.
+
+    Returns (new_px, ok, tracked_with_prior).
+    """
+    n = px.shape[0]
+    level_fn = _select_level_fn(pad, window, True)
+
+    def cascade(px_c, active0, inject_mask, inject_disp, m_active):
+        flow = jnp.zeros_like(px_c)
+        ok = active0
+        for level in range(levels, -1, -1):
+            if inject_mask is not None and level == prior_level:
+                flow = jnp.where(
+                    (inject_mask & ~active0)[:, None], inject_disp, flow
+                )
+                ok = ok | inject_mask
+            d1, d2 = pyr_prev[level], pyr_cur[level]
+            hw = pyramid_level_shape(d1, pad)
+            p_lvl = jnp.floor(px_c / (2.0 ** level)).astype(jnp.int32)
+
+            def run(args, d1=d1, d2=d2, hw=hw, p_lvl=p_lvl):
+                return level_fn(
+                    d1, d2, p_lvl, args[0], args[1], hw=hw, window=window,
+                    iters=iters, eps=eps, eig_thresh=eig_thresh, pad=pad,
+                    min_active=m_active,
+                )
+
+            flow, ok = jax.lax.cond(
+                jnp.any(ok), run, lambda args: args, (flow, ok)
+            )
+            if level > 0:
+                flow = flow * 2.0
+        return flow, ok
+
+    def backward(px_c, flow_f, st):
+        flow_b, bst = lk_flow(
+            pyr_cur, pyr_prev, px_c + flow_f, -flow_f, st,
+            levels=0, window=window, iters=iters, eps=eps,
+            eig_thresh=eig_thresh, pad=pad, min_active=min_active,
+            escape_fail=True,
+        )
+        dist_fb = jnp.linalg.norm(flow_f + flow_b, axis=-1)
+        return st & bst & (dist_fb < max_distance)
+
+    plain = valid & ~prior_mask
+    prior = valid & prior_mask
+
+    # Main pass: plain from the coarsest level, prior injected at
+    # prior_level (map_manager.jl:458,466).
+    flow_m, ok_m = cascade(px, plain, prior, disp_prior, min_active)
+    okfb_m = backward(px, flow_m, ok_m)
+
+    # Compact the failed priors into RETRY_CAP lanes and re-track as plain.
+    retry_mask = prior & ~okfb_m
+    rank = jnp.cumsum(retry_mask) - retry_mask.astype(jnp.int32)
+    in_cap = retry_mask & (rank < RETRY_CAP)
+    slot = jnp.where(in_cap, rank, RETRY_CAP)
+    px_r = (
+        jnp.zeros((RETRY_CAP + 1, 2), px.dtype).at[slot].set(px)[:RETRY_CAP]
+    )
+    valid_r = (
+        jnp.zeros((RETRY_CAP + 1,), bool).at[slot].set(in_cap)[:RETRY_CAP]
+    )
+    flow_r, ok_r = cascade(px_r, valid_r, None, None, min_active)
+    okfb_r = backward(px_r, flow_r, ok_r)
+
+    # Scatter retry results back onto their main lanes.
+    gather_idx = jnp.clip(rank, 0, RETRY_CAP - 1)
+    use_retry = in_cap & okfb_r[gather_idx]
+    flow_back = flow_r[gather_idx]
+    new_px = jnp.where(use_retry[:, None], px + flow_back, px + flow_m)
+    ok = (okfb_m | use_retry) & valid
+    return new_px, ok, prior & okfb_m
+
+
+def fb_cascade(*args, **kw):
+    """Production FB cascade: compacted retry (default) or the round-2
+    shadow-lane formulation (SLAMTPU_LK_SHADOW=1, trace-time). Per-point
+    results are identical below RETRY_CAP failures."""
+    import os
+    if os.environ.get("SLAMTPU_LK_SHADOW"):
+        return fb_shadow(*args, **kw)
+    return fb_retry_compact(*args, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -802,7 +905,7 @@ def fb_track_merged(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
                     levels, prior_level=1, window=9, iters=30, eps=1e-2,
                     eig_thresh=1e-4, pad=17, max_distance=1.0, min_active=0):
     """One-dispatch forward-backward KLT for both families + retry."""
-    return fb_shadow(
+    return fb_cascade(
         pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid,
         levels=levels, prior_level=prior_level, window=window, iters=iters,
         eps=eps, eig_thresh=eig_thresh, pad=pad, max_distance=max_distance,

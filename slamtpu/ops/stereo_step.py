@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .frontend_step import _undistort_backproject
 from .image import lk_pyramid_impl
-from .lucas_kanade import fb_shadow
+from .lucas_kanade import fb_cascade
 from .mvg import triangulate_points
 
 # Packed state layout (rows [0, N)): columns
@@ -70,7 +70,7 @@ def stereo_step(
 
     # One doubled-lane cascade tracks both families plus the failed-prior
     # retry simultaneously (fb_shadow — same trick as the tracking step).
-    tracked_px, ok, _ = fb_shadow(
+    tracked_px, ok, _ = fb_cascade(
         pyr_left, pyr_right, px, prior_mask, disp_prior, valid,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
         eig_thresh=eig_thresh, pad=pad, max_distance=max_fb_distance,
