@@ -30,9 +30,11 @@ def prewarm_ba(camera):
 
     rng = np.random.default_rng(0)
     intr = jnp.asarray(camera.intrinsics_array())
-    for X, O in ((2048, 8192), (4096, 16384)):
-        poses = jnp.asarray(rng.normal(0, 0.01, (16, 6)).astype(np.float32))
-        const = jnp.asarray(np.array([True] + [False] * 7 + [True] * 8))
+    for P, X, O in ((16, 2048, 8192), (16, 4096, 16384), (32, 4096, 16384)):
+        poses = jnp.asarray(rng.normal(0, 0.01, (P, 6)).astype(np.float32))
+        const = jnp.asarray(
+            np.array([True] + [False] * 7 + [True] * (P - 8))
+        )
         pts = jnp.asarray(
             (rng.uniform(-5, 5, (X, 3)) + [0, 0, 15]).astype(np.float32))
         res = local_bundle_adjustment(

@@ -463,6 +463,8 @@ class FrontEnd:
         """
         from ..ops import track_step as ts
 
+        _t = TIMERS.stage("fe.resync")
+        _t.__enter__()
         frame = self.current_frame
         mm = self.map_manager
         p = self.params
@@ -514,6 +516,7 @@ class FrontEnd:
         self._slot_has_mp = np.asarray(has_mp_list, bool)
         self._last_dispatch_time = self.motion_model.prev_time
         self._last_kf_fid = prev_kf.id
+        _t.__exit__(None, None, None)
 
     def pipeline_dispatch(self, fid: int, image_dev, right_dev,
                           time: float):

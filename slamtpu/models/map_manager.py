@@ -125,6 +125,10 @@ class MapManager:
         self.nb_mappoints += 1
 
     def add_keyframe(self):
+        with TIMERS.stage("mm.clone"):
+            self._add_keyframe_inner()
+
+    def _add_keyframe_inner(self):
         new_keyframe = self.current_frame.deep_clone()
         self.frames_map[self.current_keyframe_id] = new_keyframe
         self.current_keyframe_id += 1
@@ -207,6 +211,10 @@ class MapManager:
     # -- covisibility (map_manager.jl:302-355) -----------------------------------
 
     def update_frame_covisibility(self, frame: Frame):
+        with TIMERS.stage("mm.covis"):
+            self._update_frame_covisibility_inner(frame)
+
+    def _update_frame_covisibility_inner(self, frame: Frame):
         covisible_keyframes: Dict[int, int] = {}
         local_map_ids = set()
         for kp in frame.get_keypoints():

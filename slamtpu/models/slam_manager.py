@@ -99,6 +99,10 @@ class SlamManager:
     # -- per-frame pipeline (SLAM.jl:187-230) -----------------------------------
 
     def _to_device_image(self, image):
+        with TIMERS.stage("sm.upload"):
+            return self._to_device_image_inner(image)
+
+    def _to_device_image_inner(self, image):
         arr = np.asarray(image, np.float32)
         if arr.max() > 1.5:  # uint8-style input: normalize to [0, 1]
             arr = arr / 255.0
@@ -108,14 +112,14 @@ class SlamManager:
 
     def _process_frame(self, image, right_image, time: float):
         image_dev = self._to_device_image(image)
-        right_dev = (
-            self._to_device_image(right_image)
-            if right_image is not None else None
-        )
 
         fe = self.front_end
         if (self.params.pipelined and self.params.sequential
                 and fe.pipeline_active):
+            # The right image is only read on the keyframe path — keep it
+            # on the host (numpy) and upload at keyframe-apply time instead
+            # of paying ~6 ms of H2D latency every frame.
+            right_dev = right_image
             # Apply a predicted-keyframe frame BEFORE dispatching on top of
             # it: a correct prediction avoids discarding + replaying the
             # new dispatch against the pre-keyframe carry.
@@ -135,6 +139,10 @@ class SlamManager:
                     self._pipeline_apply_one()
                 return
 
+        right_dev = (
+            self._to_device_image(right_image)
+            if right_image is not None else None
+        )
         self.frame_id += 1
         self.current_frame.id = self.frame_id
         self.current_frame.time = time
@@ -197,6 +205,11 @@ class SlamManager:
         fe.adopt_pyramid(rec)
 
         if is_kf_required:
+            if rec.right_dev is not None and isinstance(
+                rec.right_dev, np.ndarray
+            ):
+                # Lazily uploaded: the right image is only needed here.
+                rec.right_dev = self._to_device_image(rec.right_dev)
             use_fused_kf = (
                 self.params.fused_keyframe and self.params.stereo
                 and rec.right_dev is not None

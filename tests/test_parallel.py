@@ -56,11 +56,15 @@ def test_graft_entry_single():
     import importlib
     mod = importlib.import_module("__graft_entry__")
     fn, args = mod.entry()
-    out = jax.jit(fn)(*args)
-    new_points, ok = out
-    assert new_points.shape == args[2].shape
-    # Identical images: points should track to themselves.
-    ok = np.asarray(ok)
+    per_kp, scalars, kp_next, misc_next = jax.jit(fn)(*args)
+    kp_in = args[1]
+    n = int((kp_in[:, 9] > 0).sum())  # FL_VALID rows
+    ok = np.asarray(per_kp)[:n, 7] > 0
+    # Identical image pair: points should track to themselves.
     assert ok.mean() > 0.5
-    moved = np.linalg.norm(np.asarray(new_points)[ok] - args[2][ok], axis=-1)
+    moved = np.linalg.norm(
+        np.asarray(per_kp)[:n, 0:2][ok] - kp_in[:n, 0:2][ok], axis=-1
+    )
     assert np.median(moved) < 0.5
+    assert np.isfinite(np.asarray(scalars)).all()
+    assert np.isfinite(np.asarray(misc_next)).all()
