@@ -30,7 +30,8 @@ def prewarm_ba(camera):
 
     rng = np.random.default_rng(0)
     intr = jnp.asarray(camera.intrinsics_array())
-    for P, X, O in ((16, 2048, 8192), (16, 4096, 16384), (32, 4096, 16384)):
+    for P, X, O in ((16, 2048, 8192), (16, 4096, 16384),
+                    (32, 2048, 8192), (32, 4096, 16384)):
         poses = jnp.asarray(rng.normal(0, 0.01, (P, 6)).astype(np.float32))
         const = jnp.asarray(
             np.array([True] + [False] * 7 + [True] * (P - 8))
@@ -99,6 +100,15 @@ def main():
         params.lk_min_active = int(os.environ["BENCH_LK_MIN_ACTIVE"])
     if os.environ.get("BENCH_LK_ITERS"):
         params.lk_iterations = int(os.environ["BENCH_LK_ITERS"])
+    if os.environ.get("BENCH_BA_WINDOW"):
+        params.ba_window = int(os.environ["BENCH_BA_WINDOW"])
+    if os.environ.get("BENCH_MAP_FILTERING"):
+        params.map_filtering = os.environ["BENCH_MAP_FILTERING"] == "1"
+    if os.environ.get("BENCH_DEPTH"):
+        params.pipeline_depth = int(os.environ["BENCH_DEPTH"])
+    if os.environ.get("BENCH_HYP"):
+        params.ransac_essential_hypotheses = int(os.environ["BENCH_HYP"])
+        params.ransac_pnp_hypotheses = int(os.environ["BENCH_HYP"])
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)
