@@ -120,11 +120,13 @@ class SlamManager:
             # on the host (numpy) and upload at keyframe-apply time instead
             # of paying ~6 ms of H2D latency every frame.
             right_dev = right_image
-            # Apply a predicted-keyframe frame BEFORE dispatching on top of
-            # it: a correct prediction avoids discarding + replaying the
-            # new dispatch against the pre-keyframe carry.
+            # Apply up to (and including) a predicted-keyframe frame BEFORE
+            # dispatching on top of it: a correct prediction avoids
+            # discarding + replaying the new dispatch against the
+            # pre-keyframe carry. Checks the whole in-flight window — at
+            # depth 3 the keyframe can sit behind a tracked frame.
             while (fe.inflight and fe.pipeline_active
-                   and fe.predict_kf(fe.inflight[0].fid)):
+                   and any(fe.predict_kf(r.fid) for r in fe.inflight)):
                 self._pipeline_apply_one()
             if not fe.pipeline_active:
                 # A reset mid-apply tore the pipeline down; fall through to
