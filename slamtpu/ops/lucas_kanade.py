@@ -32,6 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .dma_gather import gather_windows, use_dma_gather
 from .image import pyramid_level_shape
 
 
@@ -382,10 +383,18 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
 
     start = p_lvl - w + pad
 
-    def one(s):
-        return jax.lax.dynamic_slice(d1["stack"], (0, s[0], s[1]), (6, T, T))
+    if use_dma_gather():
+        # Pipelined-DMA span gather + vector extraction (ops/dma_gather.py):
+        # bit-exact with the vmapped dynamic_slice below, ~10x cheaper on the
+        # TPU backend (the serialized per-point copies dominate level cost).
+        stack_w = gather_windows(d1["stack"], start, T, T)
+    else:
+        def one(s):
+            return jax.lax.dynamic_slice(
+                d1["stack"], (0, s[0], s[1]), (6, T, T)
+            )
 
-    stack_w = jax.vmap(one)(start)            # (N, 6, T, T) — once per level
+        stack_w = jax.vmap(one)(start)        # (N, 6, T, T) — once per level
     stack_w = stack_w.transpose(1, 2, 3, 0)   # (6, T, T, N)
     img1_w, iy_w, ix_w = stack_w[0], stack_w[1], stack_w[2]
     gyy_w, gxx_w, gyx_w = stack_w[3], stack_w[4], stack_w[5]
@@ -424,10 +433,15 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
         """(P, P, N) patches of the second image centered at floor(q)."""
         base = jnp.floor(q).astype(jnp.int32) - w - R + pad
 
-        def onep(s):
-            return jax.lax.dynamic_slice(d2["img"], (s[0], s[1]), (P, P))
+        if use_dma_gather():
+            patch = gather_windows(d2["img"][None], base, P, P)[:, 0]
+        else:
+            def onep(s):
+                return jax.lax.dynamic_slice(d2["img"], (s[0], s[1]), (P, P))
 
-        return jax.vmap(onep)(base).transpose(1, 2, 0), base
+            patch = jax.vmap(onep)(base)
+
+        return patch.transpose(1, 2, 0), base
 
     def select_window(patch, rel):
         """(P, P, N), (N, 2) int in [0, 2R] -> (T+1, T+1, N) windows using
