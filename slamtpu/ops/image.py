@@ -78,6 +78,38 @@ def resize_bilinear(img, shape):
     return jax.image.resize(img, shape, method="linear")
 
 
+def _conv_spread(img, kys: np.ndarray):
+    """img (H, W) -> (C, H, W): one vertical SAME conv per kernel row of
+    kys (C, kh). Single conv op — C outputs share one pass over the image."""
+    kern = jnp.asarray(kys, jnp.float32)[:, None, :, None]
+    return jax.lax.conv_general_dilated(
+        img[None, None], kern, (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]
+
+
+def _conv_grouped(x, ks: np.ndarray, axis: int):
+    """x (C, H, W) -> per-channel SAME conv along `axis`, channel c using
+    kernel row ks[c]. One grouped conv op instead of C separate passes —
+    full-image conv cost on this backend is per-pass overhead-bound
+    (scripts/conv_bench.py: C=3 grouped = 0.66x of three C=1 passes)."""
+    c = x.shape[0]
+    k = jnp.asarray(ks, jnp.float32)
+    kern = k[:, None, :, None] if axis == 0 else k[:, None, None, :]
+    return jax.lax.conv_general_dilated(
+        x[None], kern, (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+    )[0]
+
+
+def _pad_center(kernel: np.ndarray, taps: int) -> np.ndarray:
+    """Zero-pad a centered odd-length 1-D kernel to `taps` (odd, >= len):
+    SAME conv output is unchanged (zero taps contribute nothing)."""
+    extra = (taps - len(kernel)) // 2
+    return np.pad(kernel, (extra, extra))
+
+
 def pyramid_shapes(height: int, width: int, levels: int):
     """Level sizes: ceil halving per level (reference gaussian_pyramid)."""
     shapes = [(height, width)]
@@ -95,20 +127,40 @@ def lk_pyramid_impl(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
     image = image.astype(jnp.float32)
     out = []
     current = image
+    gk = gaussian_kernel_1d(product_sigma)
+    lk = gaussian_kernel_1d(sigma)
+    taps = max(len(gk), len(lk))
+    gk_w, lk_w = _pad_center(gk, taps), _pad_center(lk, taps)
+    scharr_y = np.stack([_SCHARR_DERIV, _SCHARR_SMOOTH])
+    scharr_x = np.stack([_SCHARR_SMOOTH, _SCHARR_DERIV])
+    blurred_next = None
     for level in range(levels + 1):
         if level > 0:
             h, w = current.shape
-            blurred = gaussian_blur(current, sigma)
-            current = resize_bilinear(blurred, ((h + 1) // 2, (w + 1) // 2))
-        iy, ix = scharr_gradients(current)
-        gk = gaussian_kernel_1d(product_sigma)
-        gyy = separable_filter(iy * iy, gk, gk)
-        gxx = separable_filter(ix * ix, gk, gk)
-        gyx = separable_filter(iy * ix, gk, gk)
-        stack = jnp.stack([
-            jnp.pad(current, pad), jnp.pad(iy, pad), jnp.pad(ix, pad),
-            jnp.pad(gyy, pad), jnp.pad(gxx, pad), jnp.pad(gyx, pad),
-        ])
+            current = resize_bilinear(
+                blurred_next, ((h + 1) // 2, (w + 1) // 2)
+            )
+        # Batched Scharr: one 2-channel vertical pass + one grouped
+        # horizontal pass instead of four single-channel convs.
+        g = _conv_grouped(_conv_spread(current, scharr_y), scharr_x, 1)
+        iy, ix = g[0], g[1]
+        # Product blurs (and, below the top level, the next level's image
+        # blur — its shorter kernel zero-padded to the same tap count) as
+        # ONE grouped separable pass over 3-4 channels.
+        prods = jnp.stack([iy * iy, ix * ix, iy * ix])
+        if level < levels:
+            x4 = jnp.concatenate([prods, current[None]])
+            ks = np.stack([gk_w, gk_w, gk_w, lk_w])
+            sm = _conv_grouped(_conv_grouped(x4, ks, 0), ks, 1)
+            gyy, gxx, gyx, blurred_next = sm[0], sm[1], sm[2], sm[3]
+        else:
+            ks = np.stack([gk, gk, gk])
+            sm = _conv_grouped(_conv_grouped(prods, ks, 0), ks, 1)
+            gyy, gxx, gyx = sm[0], sm[1], sm[2]
+        stack = jnp.pad(
+            jnp.stack([current, iy, ix, gyy, gxx, gyx]),
+            ((0, 0), (pad, pad), (pad, pad)),
+        )
         padded = {
             # One (6, Hp, Wp) stack: the LK prelude gathers every map for a
             # point in a single dynamic slice (gather latency dominates on

@@ -32,9 +32,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .features import CELL_TOPK, _dilate, shi_tomasi_response
+import numpy as np
+
 from .frontend_step import _undistort_backproject
-from .image import lk_pyramid_impl
+from .features import _dilate
+from .image import _conv_grouped, gaussian_kernel_1d, lk_pyramid_impl
 from .lucas_kanade import fb_cascade
 from .mvg import triangulate_points
 
@@ -53,6 +55,9 @@ KFL_TEMPORAL = 4
 # they stay tracked in the front-end but take no part in this keyframe's
 # stereo step, map_manager.jl:500-507).
 KFL_OCCUPY = 8
+
+# Per-cell candidate budget (matches the split path's CELL_TOPK).
+KF_TOPK = 8
 
 N_GROUPS = 64              # padded temporal observer-group capacity
 N_MISC_ROWS = 4            # misc block rows (16 f32 each)
@@ -121,10 +126,27 @@ def keyframe_step(
         right_image, levels=levels, sigma=sigma, pad=pad
     )
 
-    # ---- 1. detection (ops/features.detect_keypoints inlined: the image
-    # is the unpadded level-0 pyramid plane). --------------------------------
-    img = pyr_left[0]["img"][pad:pad + height, pad:pad + width]
-    resp = shi_tomasi_response(img)
+    # ---- 1. detection (ops/features.detect_keypoints inlined). The
+    # Shi-Tomasi response reuses the carry pyramid's Scharr gradients
+    # (stack Iy/Ix, computed
+    # pre-padding, so the crop is bit-exact with gradients of the raw
+    # image) — only the sigma-1 product blurs remain, batched into one
+    # grouped separable pass. -----------------------------------------------
+    sl = (slice(pad, pad + height), slice(pad, pad + width))
+    iy = pyr_left[0]["Iy"][sl]
+    ix = pyr_left[0]["Ix"][sl]
+    prods = jnp.stack([iy * iy, ix * ix, iy * ix])
+    k1 = np.stack([gaussian_kernel_1d(1.0)] * 3)
+    sm = _conv_grouped(_conv_grouped(prods, k1, 0), k1, 1)
+    half_tr = 0.5 * (sm[0] + sm[1])
+    disc = jnp.sqrt(jnp.square(0.5 * (sm[0] - sm[1])) + jnp.square(sm[2]))
+    resp = half_tr - disc
+
+    # Occupancy suppression BEFORE the 3x3 NMS — ordering is load-bearing:
+    # zeroing the suppressed region first lets a weaker corner just outside
+    # it survive NMS against a stronger suppressed neighbor (admission
+    # parity with ops/features.detect_keypoints; a post-top-k pairwise
+    # variant admitted a strict subset and starved the map).
     yx = jnp.round(px).astype(jnp.int32)
     yx = jnp.clip(yx, 0, jnp.array([height - 1, width - 1]))
     occ_rows = (flags & (KFL_VALID | KFL_OCCUPY)) > 0
@@ -143,13 +165,13 @@ def keyframe_step(
     )
     cells = padded.reshape(gy, cell_size, gx, cell_size)
     cells = cells.transpose(0, 2, 1, 3).reshape(gy * gx, cell_size ** 2)
-    vals, idx = jax.lax.top_k(cells, CELL_TOPK)
+    vals, idx = jax.lax.top_k(cells, KF_TOPK)
     cell_ids = jnp.arange(gy * gx)
     det_y = ((cell_ids // gx)[:, None] * cell_size + idx // cell_size)
     det_x = ((cell_ids % gx)[:, None] * cell_size + idx % cell_size)
 
     # ---- 2. admission in host order (row-major cell, then rank) -----------
-    col = jnp.broadcast_to(jnp.arange(CELL_TOPK)[None, :], vals.shape)
+    col = jnp.broadcast_to(jnp.arange(KF_TOPK)[None, :], vals.shape)
     admitted = (vals > min_response) & (col < n_cell_detect)
     flat = admitted.reshape(-1)
     before = jnp.cumsum(flat) - flat        # exclusive admitted count
