@@ -109,12 +109,14 @@ class Params:
     # synchronous resync + replay of the speculated frames. Sequential
     # mode only.
     pipelined: bool = True
-    # Max dispatched-but-unapplied frames. 3 overlaps the fetch RPC of
-    # frame N-2 with the exec of N-1 and N (the async D2H copy has
-    # completed by fetch time) — measured 5.9 vs 5.7 FPS against depth 2
-    # on the tunnel backend. Keyframe mispredictions cost one extra replay
-    # per additional depth.
-    pipeline_depth: int = 3
+    # Max dispatched-but-unapplied frames. Depth overlaps the fetch RPC
+    # of the oldest in-flight frame with the exec of the newer ones (the
+    # async D2H copy has completed by fetch time). Measured on the tunnel
+    # backend: depth 2 → 5.7 FPS, 3 → 5.9 (then 7.9 after the round-3
+    # kernel work), 4 → 8.4, 5 → 7.9 (replay cost of keyframe
+    # mispredictions overtakes the extra overlap). ATE/cadence identical
+    # at 3/4/5.
+    pipeline_depth: int = 4
 
     # -- runtime state (src/params.jl:79-81) --------------------------------
     vision_initialized: bool = False
