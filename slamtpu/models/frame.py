@@ -352,6 +352,19 @@ class Frame:
         normalized = pc[:, [1, 0]] / z  # (y, x)
         return undistort_pdn_batch(self.camera, normalized)
 
+    def project_world_to_right_image_distort_batch(self, points):
+        """(K, 3) world points -> (K, 2) distorted right-image pixels
+        (y, x); batched twin of project_world_to_right_image_distort
+        (same left-camera intrinsics convention, map_manager.jl:486-507)."""
+        from ..camera import undistort_pdn_batch
+
+        T = self.right_camera.Ti0 @ self.cw
+        pc = points @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2:3]
+        z = np.where(np.abs(z) < 1e-12, 1e-12, z)
+        normalized = pc[:, [1, 0]] / z  # (y, x)
+        return undistort_pdn_batch(self.camera, normalized)
+
     def in_image_batch(self, pixels):
         from ..camera import in_image_batch
 
