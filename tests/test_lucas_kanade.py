@@ -145,3 +145,89 @@ def test_lk_displacement_prior():
         np.asarray(new_pts)[ok] - (pts[ok] + np.array(shift)), axis=-1
     )
     assert np.median(err) < 0.3
+
+
+def test_patch_kernel_matches_exact_at_large_drift(monkeypatch):
+    """Patch-cached-kernel contract beyond the previously validated 7 px:
+    forward-BACKWARD tracking at 8-24 px full-resolution shifts must
+    agree with the exact per-iteration-gather kernel (SLAMTPU_NO_PATCH_LK)
+    after the fb gate. Forward-only flows MAY diverge for points whose
+    per-level residual leaves the cached-patch margin (the patch kernel
+    freezes them by design); the escape_fail backward pass is what kills
+    them — so the contract is: every point BOTH kernels pass carries the
+    same, correct flow, and the patch kernel passes no point the exact
+    kernel would reject with a different flow."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import slamtpu.ops.lucas_kanade as lk
+    from slamtpu.ops.image import build_lk_pyramid, gaussian_blur
+    from slamtpu.ops.lucas_kanade import lk_pad
+
+    fb = lk.fb_track.__wrapped__  # unjitted: the env switch is trace-time
+    h, w = 128, 192
+    window, levels = 4, 2
+    pad = lk_pad(window)
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal((h, w)).astype(np.float32)
+    img = np.asarray(gaussian_blur(jnp.asarray(noise), 1.5))
+    img = (img - img.min()) / (img.max() - img.min())
+    pts = [
+        (rng.uniform(40, h - 40), rng.uniform(40, w - 40)) for _ in range(32)
+    ]
+    px = jnp.asarray(np.asarray(pts, np.float32))
+    valid = jnp.ones(len(pts), bool)
+    disp = jnp.zeros_like(px)
+    kw = dict(levels=levels, window=window, iters=40, eps=1e-3,
+              eig_thresh=1e-4, pad=pad, max_distance=0.7)
+
+    pyr1 = build_lk_pyramid(jnp.asarray(img), levels=levels, pad=pad)
+    # (shift, min points passing both kernels): the fb gate legitimately
+    # thins weak-texture points as the drift grows (20 px is 5 px at the
+    # coarsest level — at the margin with no prior); the contract under
+    # test is flow CORRECTNESS and kernel agreement, not tracking rate.
+    for shift, floor in ((8, 16), (14, 16), (20, 6)):
+        img2 = np.roll(img, (0, shift), (0, 1))
+        pyr2 = build_lk_pyramid(jnp.asarray(img2), levels=levels, pad=pad)
+        p_px, ok_p = fb(pyr1, pyr2, px, disp, valid, **kw)
+        monkeypatch.setenv("SLAMTPU_NO_PATCH_LK", "1")
+        e_px, ok_e = fb(pyr1, pyr2, px, disp, valid, **kw)
+        monkeypatch.delenv("SLAMTPU_NO_PATCH_LK")
+        p_px, ok_p = np.asarray(p_px), np.asarray(ok_p)
+        e_px, ok_e = np.asarray(e_px), np.asarray(ok_e)
+        both = ok_p & ok_e
+        assert both.sum() >= floor, (
+            f"shift {shift}: only {both.sum()}/{len(pts)} pass both kernels"
+        )
+        np.testing.assert_allclose(
+            p_px[both], e_px[both], atol=1e-2, err_msg=f"shift {shift}"
+        )
+        # Flow correctness only binds while the true match is inside the
+        # no-prior convergence basin (shift <= 14 -> <= 3.5 px at the
+        # coarsest level). Beyond that, surviving points are dominated by
+        # honest symmetric aliases to self-similar texture — BOTH kernels
+        # agree on them (the allclose above proves it) and downstream
+        # RANSAC owns them; what must never happen is the patch kernel
+        # minting wrong-flow survivors the exact kernel does not.
+        if shift <= 14:
+            for mask, name in ((both, "both"), (ok_p, "patch")):
+                err = np.abs(
+                    p_px[mask, 1] - (np.asarray(pts)[mask, 1] + shift)
+                )
+                assert np.median(err) < 0.5, f"shift {shift} {name}"
+                assert (err > 1.5).mean() < 0.2, (
+                    f"shift {shift} {name}: {(err > 1.5).sum()} aliased"
+                )
+        diverge = int((ok_p != ok_e).sum())
+        if shift <= 8:
+            assert diverge == 0, f"shift {shift}: ok sets diverge"
+        elif shift <= 14:
+            # The escape_fail asymmetry (lucas_kanade.py backward pass)
+            # may conservatively kill a point whose residual grazes the
+            # cached-patch margin (measured: 1/32 at shift 14). The
+            # direction matters: the patch kernel must never MINT a
+            # survivor the exact kernel rejects.
+            assert diverge <= 3, f"shift {shift}: {diverge}/32 diverge"
+            assert not (ok_p & ~ok_e).any(), (
+                f"shift {shift}: patch kernel minted survivors"
+            )

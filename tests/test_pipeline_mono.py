@@ -62,3 +62,76 @@ def test_mono_pipeline_tracks_trajectory():
     # (pre-init frames sit at the identity pose; the init frame itself is
     # recorded at the pre-BA map scale, so start after it).
     assert (np.diff(est[-5:, 0]) > 0).all()
+
+
+@pytest.mark.slow
+def test_mono_planar_scene_five_point_init():
+    """Mono init on a dominant ground plane — the degenerate regime for the
+    linear 8-point essential solve that the Nister 5-point solver handles
+    (reference front_end.jl:305; ops/fivepoint.py is the default in
+    essential_ransac). Runs the full default pipeline (pipelined carry),
+    not just the solver unit test."""
+    scene = make_scene(
+        n_frames=12, height=160, width=224, n_points=1400, seed=23,
+        motion="strafe", layout="ground",
+    )
+    params = Params(
+        stereo=False, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0,
+        do_local_bundle_adjustment=True, sequential=True,
+    )
+    saver = ReplaySaver()
+    sm = SlamManager(params, scene.camera, slam_io=saver)
+    for i in range(len(scene)):
+        left, _ = scene.frame(i)
+        sm.add_image(left, float(scene.timestamps[i]))
+    sm.wait()
+
+    assert not params.reset_required
+    assert params.vision_initialized, "5-point init failed on planar scene"
+    n_3d = sum(1 for mp in sm.map_manager.map_points.values() if mp.is_3d)
+    assert n_3d > 50
+    est = saver.trajectory_xyz()
+    gt = np.stack([p[:3, 3] for p in scene.poses_wc])
+    assert len(est) == len(gt)
+    err = ate_rmse(est.astype(np.float64), gt, align_scale=True)
+    total = np.linalg.norm(gt[-1] - gt[0])
+    # Catastrophe bound (planar degeneracy would send this to ~1x total).
+    assert err < 0.25 * total
+
+
+@pytest.mark.slow
+def test_mono_reset_after_init_rebootstraps():
+    """Tracking collapse AFTER initialization: the reset cascade must tear
+    down a live map plus the in-flight pipelined dispatches (front_end
+    pipeline_stop), clear state, and re-bootstrap when texture returns
+    (front_end.jl:88-91, SLAM.jl:209-212)."""
+    scene = make_scene(
+        n_frames=14, height=160, width=224, n_points=900, seed=4
+    )
+    params = Params(
+        stereo=False, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0, sequential=True,
+    )
+    sm = SlamManager(params, scene.camera)
+    for i in range(8):
+        left, _ = scene.frame(i)
+        sm.add_image(left, float(scene.timestamps[i]))
+    sm.wait()
+    assert params.vision_initialized
+    assert sm.map_manager.nb_keyframes >= 2
+
+    blank = np.zeros_like(scene.frame(0)[0])
+    sm.add_image(blank, float(scene.timestamps[8]))
+    sm.add_image(blank, float(scene.timestamps[9]))
+    sm.wait()
+    assert not params.reset_required        # reset applied and cleared
+    assert sm.map_manager.nb_keyframes <= 1  # map torn down
+
+    # Texture returns: the pipeline re-bootstraps without crashing.
+    for i in range(10, 14):
+        left, _ = scene.frame(i)
+        sm.add_image(left, float(scene.timestamps[i]))
+    sm.wait()
+    assert not params.reset_required
+    assert sm.current_frame.nb_keypoints > 50
