@@ -109,6 +109,8 @@ def main():
     if os.environ.get("BENCH_HYP"):
         params.ransac_essential_hypotheses = int(os.environ["BENCH_HYP"])
         params.ransac_pnp_hypotheses = int(os.environ["BENCH_HYP"])
+    if os.environ.get("BENCH_ASYNC_KF"):
+        params.async_keyframe = os.environ["BENCH_ASYNC_KF"] == "1"
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)

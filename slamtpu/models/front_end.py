@@ -352,7 +352,7 @@ class FrontEnd:
         und_px = per_kp[:n, 2:4]
         bearings = per_kp[:n, 4:7]
         for i, kpid in enumerate(ids):
-            if not attempted[i]:
+            if kpid is None or not attempted[i]:
                 continue
             if ok[i]:
                 frame.update_keypoint_precomputed(
@@ -360,6 +360,7 @@ class FrontEnd:
                 )
             else:
                 mm.remove_obs_from_current_frame(kpid)
+                ids[i] = None
 
         # 2. Essential epipolar outlier removal + 5pt fallback pose
         #    (front_end.jl:102-109,315-330).
@@ -368,8 +369,9 @@ class FrontEnd:
         if ess_gate:
             rc["ess"] += int(np.sum(ess_out))
             for i, kpid in enumerate(ids):
-                if ess_out[i]:
+                if kpid is not None and ess_out[i]:
                     mm.remove_obs_from_current_frame(kpid)
+                    ids[i] = None
             P = np.asarray(scalars[0:16], np.float64).reshape(4, 4)
             prev_cw = prev_kf.cw
             current = prev_cw @ frame.wc
@@ -399,8 +401,9 @@ class FrontEnd:
             )
             rc["p3p"] += int(np.sum(has_mp_ok & ~p3p_in))
             for i, kpid in enumerate(ids):
-                if has_mp_ok[i] and not p3p_in[i]:
+                if kpid is not None and has_mp_ok[i] and not p3p_in[i]:
                     mm.remove_obs_from_current_frame(kpid)
+                    ids[i] = None
 
             frame.set_cw(
                 np.asarray(scalars[16:32], np.float64).reshape(4, 4),
@@ -416,8 +419,10 @@ class FrontEnd:
                 pnp_out = per_kp[:n, 10] > 0
                 rc["pnp"] += int(np.sum(has_mp_ok & p3p_in & pnp_out))
                 for i, kpid in enumerate(ids):
-                    if has_mp_ok[i] and p3p_in[i] and pnp_out[i]:
+                    if (kpid is not None and has_mp_ok[i] and p3p_in[i]
+                            and pnp_out[i]):
                         mm.remove_obs_from_current_frame(kpid)
+                        ids[i] = None
                 frame.set_cw(
                     hm.theta_to_pose(
                         np.asarray(scalars[32:38], np.float64)
@@ -568,10 +573,16 @@ class FrontEnd:
         frame.set_wc(new_pose, slam_io)
         n = len(self._slot_ids)
         attempted = per_kp[:n, 11] > 0
+        # The 3D mask the DEVICE used for this frame (per_kp col 12): with
+        # the async keyframe path the host's view can lag the device's
+        # (predicted stereo promotions land before the host's f64 gates
+        # run; temporal promotions land after, via carry_merge) — the
+        # removal bookkeeping must follow the device's P3P/PnP membership.
+        has_mp = per_kp[:n, 12] > 0
         with TIMERS.stage("fe.pipe.apply"):
             return self._apply_fused(
                 (per_kp, scalars), self._slot_ids, attempted,
-                self._slot_has_mp, frame, prev_kf, rec.time, slam_io,
+                has_mp, frame, prev_kf, rec.time, slam_io,
             )
 
     @property
@@ -612,6 +623,56 @@ class FrontEnd:
         extraction/stereo and the next resync read it)."""
         self.current_pyramid = rec.carry_after["pyr"]
         self.previous_pyramid = None
+
+    def push_correction(self):
+        """Reconcile the device carry with authoritative host state after
+        an async keyframe's host apply (ops/track_step.py::carry_merge) —
+        temporal-DLT promotions, f32/f64 stereo-gate edge flips, map-point
+        culls, and BA position updates all land here, WITHOUT discarding
+        the in-flight speculated dispatches. Device-owned state (pixels,
+        pose recurrence, tracking removals) is kept."""
+        from ..ops import track_step as ts
+
+        if self._carry is None:
+            return
+        _t = TIMERS.stage("fe.correction")
+        _t.__enter__()
+        frame = self.current_frame
+        mm = self.map_manager
+        cap = self.params.keypoint_capacity
+        prev_kf = mm.frames_map[frame.kfid]
+
+        kp = np.zeros((cap, 10), np.float32)
+        has_mp_list = np.zeros(cap, bool)
+        for j, kpid in enumerate(self._slot_ids):
+            if kpid is None:
+                continue
+            kpo = frame.keypoints.get(kpid)
+            if kpo is None:
+                self._slot_ids[j] = None
+                continue
+            flags = ts.FL_VALID
+            if kpo.is_3d:
+                mp = mm.map_points.get(kpid)
+                if mp is not None:
+                    flags |= ts.FL_HAS_MP
+                    kp[j, ts.TK_MP] = mp.get_position()
+                    has_mp_list[j] = True
+            pkp = prev_kf.keypoints.get(kpid)
+            if pkp is not None:
+                flags |= ts.FL_JOIN
+                kp[j, ts.TK_PREV_UND] = pkp.undistorted_pixel[::-1]
+                kp[j, ts.TK_PREV_BEAR] = pkp.position[:2]
+            kp[j, ts.TK_FLAGS] = flags
+        self._slot_has_mp = has_mp_list[:len(self._slot_ids)]
+
+        misc = np.zeros(17, np.float32)
+        misc[:16] = prev_kf.cw.reshape(16)
+        misc[16] = 1.0 if mm.nb_keyframes > 2 else 0.0
+        self._carry = ts.carry_merge(
+            self._carry, jnp.asarray(kp), jnp.asarray(misc)
+        )
+        _t.__exit__(None, None, None)
 
     # -- P3P + refinement (front_end.jl:132-219) ----------------------------
 

@@ -69,6 +69,7 @@ class SlamManager:
 
         self.frame_id = 0
         self.exit_required = False
+        self._pending_kf = None
         self._image_queue = []
         self._queue_lock = threading.Lock()
         self._threads = []
@@ -180,11 +181,41 @@ class SlamManager:
                 and not fe.pipeline_active and fe.can_start_pipeline()):
             fe.start_pipeline()
 
+    def _drain_pending_kf(self) -> bool:
+        """Host-apply a pending async keyframe (f64 gates, estimator) and
+        push the carry correction. Returns False if a reset tore the
+        pipeline down."""
+        pending = self._pending_kf
+        if pending is None:
+            return True
+        self._pending_kf = None
+        fe = self.front_end
+        ok = self.mapper.apply_async_keyframe(pending)
+        if self.params.reset_required:
+            fe.pipeline_stop()
+            self.reset()
+            return False
+        if ok:
+            new_kf = self.mapper.estimator.get_new_kf()
+            if new_kf is not None:
+                self.mapper.estimator.process(new_kf)
+            if self.params.reset_required:
+                fe.pipeline_stop()
+                self.reset()
+                return False
+            fe.push_correction()
+        return True
+
     def _pipeline_apply_one(self):
         """Fetch + apply the oldest in-flight frame; handle keyframes and
         resets by discarding the speculated dispatches, resyncing the
-        device carry from host state, and replaying the speculated inputs."""
+        device carry from host state, and replaying the speculated inputs.
+        With async_keyframe, the keyframe program instead chains off the
+        applied frame's carry (no resync/fetch on the critical path) and
+        its host half runs at the NEXT apply via _drain_pending_kf."""
         fe = self.front_end
+        if not self._drain_pending_kf():
+            return
         rec = fe.inflight.popleft()
         self.current_frame.id = rec.fid
         self.current_frame.time = rec.time
@@ -217,6 +248,17 @@ class SlamManager:
                 and rec.right_dev is not None
                 and not self.params.do_local_matching
             )
+            if use_fused_kf and self.params.async_keyframe:
+                new_carry, self._pending_kf = (
+                    self.mapper.dispatch_async_keyframe(
+                        rec.carry_after, rec.right_dev, fe._slot_ids
+                    )
+                )
+                fe._carry = new_carry
+                fe._last_dispatch_time = fe.motion_model.prev_time
+                for fid, time, image_dev, right_dev in replay:
+                    fe.pipeline_dispatch(fid, image_dev, right_dev, time)
+                return
             if use_fused_kf:
                 ok = self.mapper.process_fused_keyframe(
                     fe.current_pyramid, rec.right_dev
@@ -293,6 +335,7 @@ class SlamManager:
         results (call at sequence end)."""
         while self.front_end.inflight:
             self._pipeline_apply_one()
+        self._drain_pending_kf()
         self.mapper.estimator.flush()
 
     def wait(self):
@@ -311,6 +354,7 @@ class SlamManager:
 
     def reset(self):
         log.warning("[SM] Reset required. Applying.")
+        self._pending_kf = None
         self.params.reset()
         self.current_frame.reset()
         self.front_end.reset()

@@ -250,6 +250,11 @@ def track_step(
             p3p_inliers[:, None].astype(jnp.float32),         # 9
             pnp_outliers[:, None].astype(jnp.float32),        # 10
             attempted[:, None].astype(jnp.float32),           # 11
+            # The 3D mask the DEVICE actually used this frame: with the
+            # async keyframe path the host's view can lag (temporal
+            # promotions land via carry_merge one frame later), so the
+            # host's apply reads the device's mask instead of its own.
+            has_mp[:, None].astype(jnp.float32),              # 12
         ],
         axis=-1,
     )
@@ -277,3 +282,53 @@ def track_step(
         ]
     )
     return new_carry, per_kp, scalars
+
+
+@jax.jit
+def carry_merge(carry, host_kp, host_misc):
+    """Reconcile the device carry with the host's authoritative state
+    WITHOUT discarding the in-flight speculated dispatches (async keyframe
+    path — the host's f64 keyframe gates run one frame behind the device's
+    f32 predictions).
+
+    Ownership split:
+      - device-owned (ahead of the host): pixels, pose/velocity recurrence,
+        tracking-failure removals — kept from `carry`;
+      - host-owned (authoritative map state): map-point positions, 3D
+        status, join set, prev-KF observation data, host-initiated removals
+        (map-point culls), prev-KF pose, the 5pt-gate flag — overwritten
+        from `host_kp` / `host_misc`.
+
+    Validity is the AND of both views: the device may have killed points
+    the host hasn't applied yet, and the host may have culled points the
+    device still tracks. Neither side may resurrect the other's removals.
+
+    host_misc: (17,) = prev_kf_cw (16) | apply_5pt.
+    """
+    kp = carry["kp"]
+    flags_dev = kp[:, TK_FLAGS].astype(jnp.int32)
+    flags_host = host_kp[:, TK_FLAGS].astype(jnp.int32)
+    valid = (flags_dev & FL_VALID) & (flags_host & FL_VALID)
+    flags_new = (flags_host & ~FL_VALID) | valid
+    kp_new = jnp.concatenate(
+        [
+            kp[:, TK_PX],
+            host_kp[:, TK_MP],
+            host_kp[:, TK_PREV_UND],
+            host_kp[:, TK_PREV_BEAR],
+            flags_new.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+    misc = carry["misc"]
+    misc_new = jnp.concatenate(
+        [
+            host_misc[:16],                 # MS_PREV_KF_CW
+            misc[MS_WC],
+            misc[MS_VEL],
+            jnp.stack([host_misc[16], misc[MS_HAS_PREV]]),
+            misc[MS_INTRINSICS],
+            misc[MS_DISTORTION],
+        ]
+    )
+    return {"pyr": carry["pyr"], "kp": kp_new, "misc": misc_new}

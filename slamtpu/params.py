@@ -83,6 +83,14 @@ class Params:
     # fetch (ops/keyframe_step.py) instead of three serialized round trips.
     # Host re-makes all accept/reject gates in f64 as with fused_stereo.
     fused_keyframe: bool = True
+    # Async (carry-chained) keyframe: the keyframe program consumes and
+    # emits the track_step carry (ops/keyframe_step.py::keyframe_step_carry)
+    # so the next tracked frame dispatches device-side with NO host round
+    # trip at keyframes — the keyframe's exec/fetch and the host's f64
+    # gates run one frame behind (slam_manager._drain_pending_kf), with
+    # stereo promotions predicted in f32 on device and reconciled by a
+    # carry-merge correction. Requires pipelined + fused_keyframe + stereo.
+    async_keyframe: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —

@@ -110,3 +110,29 @@ def test_planar_scene_fused_production_config():
     # The planar degeneracy must not derail the pose cascade: P3P + PnP
     # dominate post-init, the epipolar filter only prunes outliers.
     assert err < 0.2 * total
+
+
+@pytest.mark.slow
+def test_async_keyframe_parity():
+    """The carry-chained keyframe path (async_keyframe: keyframe program
+    chains off the track carry, host f64 gates one frame behind, carry_merge
+    reconciliation) must match the synchronous fused-keyframe path at the
+    map/ATE level — the host re-makes every gate in f64 from the same
+    fetched values, one frame later."""
+    scene = make_scene(n_frames=12, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    sm_a, p_a, est_a, gt = _run(scene, pipelined=True, async_keyframe=True)
+    sm_s, p_s, est_s, _ = _run(scene, pipelined=True, async_keyframe=False)
+
+    assert not p_a.reset_required and not p_s.reset_required
+    assert len(est_a) == len(gt) and len(est_s) == len(gt)
+    total = np.linalg.norm(gt[-1] - gt[0])
+    err_a = ate_rmse(est_a.astype(np.float64), gt, align_scale=False)
+    err_s = ate_rmse(est_s.astype(np.float64), gt, align_scale=False)
+    assert err_a < 0.15 * total
+    assert err_s < 0.15 * total
+    assert abs(sm_a.map_manager.nb_keyframes
+               - sm_s.map_manager.nb_keyframes) <= 2
+    n3d_a = sum(1 for mp in sm_a.map_manager.map_points.values() if mp.is_3d)
+    n3d_s = sum(1 for mp in sm_s.map_manager.map_points.values() if mp.is_3d)
+    assert n3d_a > 50 and n3d_s > 50
