@@ -40,14 +40,25 @@ def shi_tomasi_response(img, sigma: float = 1.0):
 
 
 def _dilate(occ, radius: int):
-    """Separable max-pool dilation with a (2r+1) square."""
+    """Binary dilation with a (2r+1) square, as a separable box-sum conv.
+
+    The occupancy map is {0, 1}, so max-pool dilation == "any occupied in
+    the window" == box-sum > 0. Convs on this backend cost ~1.8 ms/pass
+    regardless of tap count while reduce_window costs 4-8 ms/pass
+    (PERF.md cost model), so the conv form halves the dilation's share of
+    detection exec. Counts are small integers — exact in f32. Returns a
+    {0., 1.} map so callers' `> 0.0` threshold semantics are unchanged.
+    """
     k = 2 * radius + 1
-    out = jax.lax.reduce_window(
-        occ, -jnp.inf, jax.lax.max, (k, 1), (1, 1), "SAME"
+    ones = jnp.ones((k,), jnp.float32)
+    x = occ[None, None]  # NCHW
+    x = jax.lax.conv_general_dilated(
+        x, ones[None, None, :, None], (1, 1), [(radius, radius), (0, 0)]
     )
-    return jax.lax.reduce_window(
-        out, -jnp.inf, jax.lax.max, (1, k), (1, 1), "SAME"
+    x = jax.lax.conv_general_dilated(
+        x, ones[None, None, None, :], (1, 1), [(0, 0), (radius, radius)]
     )
+    return (x[0, 0] > 0.5).astype(occ.dtype)
 
 
 @functools.partial(
