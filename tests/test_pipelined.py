@@ -136,3 +136,43 @@ def test_async_keyframe_parity():
     n3d_a = sum(1 for mp in sm_a.map_manager.map_points.values() if mp.is_3d)
     n3d_s = sum(1 for mp in sm_s.map_manager.map_points.values() if mp.is_3d)
     assert n3d_a > 50 and n3d_s > 50
+
+
+@pytest.mark.slow
+def test_async_keyframe_reset_recovery():
+    """Tracking collapse with the async keyframe path live: the reset
+    cascade must also discard any dispatched-but-unapplied keyframe
+    (SlamManager._pending_kf) alongside the in-flight tracked frames, and
+    the pipeline must re-bootstrap cleanly when texture returns."""
+    scene = make_scene(n_frames=16, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    params = Params(
+        stereo=True, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=8.0, sequential=True,
+        pipelined=True, async_keyframe=True,
+        do_local_bundle_adjustment=True,
+    )
+    saver = ReplaySaver()
+    sm = SlamManager(params, scene.camera, right_camera=scene.right_camera,
+                     slam_io=saver)
+    for i in range(10):
+        left, right = scene.frame(i)
+        sm.add_stereo_image(left, right, float(scene.timestamps[i]))
+    sm.wait()
+    assert params.vision_initialized
+    assert sm.map_manager.nb_keyframes >= 2
+
+    blank = np.zeros_like(scene.frame(0)[0])
+    sm.add_stereo_image(blank, blank, float(scene.timestamps[10]))
+    sm.add_stereo_image(blank, blank, float(scene.timestamps[11]))
+    sm.wait()
+    assert not params.reset_required        # reset applied and cleared
+    assert sm._pending_kf is None           # pending async KF discarded
+
+    # Texture returns: re-bootstrap without crashing.
+    for i in range(12, 16):
+        left, right = scene.frame(i)
+        sm.add_stereo_image(left, right, float(scene.timestamps[i]))
+    sm.wait()
+    assert not params.reset_required
+    assert sm.current_frame.nb_keypoints > 50
