@@ -111,6 +111,8 @@ def main():
         params.ransac_pnp_hypotheses = int(os.environ["BENCH_HYP"])
     if os.environ.get("BENCH_ASYNC_KF"):
         params.async_keyframe = os.environ["BENCH_ASYNC_KF"] == "1"
+    if os.environ.get("BENCH_STEREO_1D"):
+        params.stereo_klt_1d = os.environ["BENCH_STEREO_1D"] == "1"
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)

@@ -131,6 +131,7 @@ def _shi_tomasi_cells(pyr_left, px, occ_rows, *, pad, height, width,
         "levels", "window", "iters", "eps", "eig_thresh", "pad",
         "max_fb_distance", "sigma", "min_active",
         "cell_size", "radius", "min_response", "height", "width",
+        "stereo_1d",
     ),
 )
 def keyframe_step(
@@ -142,7 +143,7 @@ def keyframe_step(
     eig_thresh: float = 1e-4, pad: int = 17, max_fb_distance: float = 1.0,
     sigma: float = 1.0, min_active: int = 0,
     cell_size: int = 35, radius: int = 17, min_response: float = 1e-4,
-    height: int = 0, width: int = 0,
+    height: int = 0, width: int = 0, stereo_1d: bool = False,
 ):
     cap = state.shape[0] - N_GROUPS - N_MISC_ROWS
     slots = state[:cap]
@@ -211,7 +212,7 @@ def keyframe_step(
         pyr_left, pyr_right, px_full, prior_mask, disp, valid_full,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
         eig_thresh=eig_thresh, pad=pad, max_distance=max_fb_distance,
-        min_active=min_active,
+        min_active=min_active, one_d=stereo_1d,
     )
     # Row-corrected right pixel (map_manager.jl:586-588).
     corrected = jnp.stack([px_full[:, 0], tracked_px[:, 1]], axis=-1)
@@ -299,7 +300,7 @@ def state2_rows(cap: int) -> int:
         "levels", "window", "iters", "eps", "eig_thresh", "pad",
         "max_fb_distance", "sigma", "min_active",
         "cell_size", "radius", "min_response", "height", "width",
-        "threshold",
+        "threshold", "stereo_1d",
     ),
 )
 def keyframe_step_carry(
@@ -312,6 +313,7 @@ def keyframe_step_carry(
     sigma: float = 1.0, min_active: int = 0,
     cell_size: int = 35, radius: int = 17, min_response: float = 1e-4,
     height: int = 0, width: int = 0, threshold: float = 3.0,
+    stereo_1d: bool = False,
 ):
     from .se3 import se3_inv
     from .track_step import (
@@ -415,7 +417,7 @@ def keyframe_step_carry(
         pyr_left, pyr_right, px_full, prior_mask, disp, track_full,
         levels=levels, prior_level=1, window=window, iters=iters, eps=eps,
         eig_thresh=eig_thresh, pad=pad, max_distance=max_fb_distance,
-        min_active=min_active,
+        min_active=min_active, one_d=stereo_1d,
     )
     # Row-corrected right pixel (map_manager.jl:586-588).
     corrected = jnp.stack([px_full[:, 0], tracked_px[:, 1]], axis=-1)

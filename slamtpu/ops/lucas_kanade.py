@@ -555,6 +555,163 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
     return flow, ok
 
 
+def _lk_level_lanes_1d(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
+                       eig_thresh, pad, min_active: int = 0,
+                       escape_fail: bool = False):
+    """Disparity-only (1D, x-axis) lane-major LK level for RECTIFIED stereo.
+
+    The stereo matcher's output row is corrected to the left row anyway
+    (map_manager.jl:586-588 discards the tracked y), so for rectified pairs
+    the y degree of freedom only adds cost: this kernel pins flow_y = 0 and
+    solves the scalar normal equation step_x = b_x / Gxx per point.
+
+    Structural savings vs _lk_level_patch_lanes: the patch row-window is
+    FIXED (y never moves), so the patch is (T, P, N) instead of
+    (T+1+2R, P, N) and the 2R+1 masked-shift row selection disappears from
+    the solver loop entirely; bilinear sampling needs 2 terms, not 4.
+    Validity gates mirror the 2D kernel with x-only semantics: the
+    min-eigenvalue test becomes Gxx / count (x-gradient energy — a
+    horizontal edge is untrackable in x), escape/convergence/bounds act on
+    the x component.
+    """
+    H, W = hw
+    w = window
+    T = 2 * w + 1
+    R = LK_PATCH_MARGIN
+    P = T + 1 + 2 * R
+    n = p_lvl.shape[0]
+
+    ox = jnp.arange(-w, w + 1, dtype=jnp.float32)[None, :, None]  # (1,T,1)
+
+    flow = flow * jnp.array([0.0, 1.0], jnp.float32)  # pin y
+
+    start = p_lvl - w + pad
+    if use_dma_gather():
+        stack_w = gather_windows(d1["stack"], start, T, T)
+    else:
+        def one(s):
+            return jax.lax.dynamic_slice(
+                d1["stack"], (0, s[0], s[1]), (6, T, T)
+            )
+
+        stack_w = jax.vmap(one)(start)
+    stack_w = stack_w.transpose(1, 2, 3, 0)   # (6, T, T, N)
+    img1_w, ix_w, gxx_w = stack_w[0], stack_w[2], stack_w[4]
+
+    p_f = p_lvl.astype(jnp.float32)
+    hw_max = jnp.array([H - 1, W - 1], dtype=jnp.float32)
+
+    # y-clamp depends only on p (y never moves); (T, 1, N) row mask.
+    oy = jnp.arange(-w, w + 1, dtype=jnp.float32)[:, None, None]
+    up = jnp.minimum(float(w), p_f[:, 0])
+    down = jnp.minimum(float(w), hw_max[0] - p_f[:, 0])
+    my = (oy >= -up[None, None, :]) & (oy <= down[None, None, :])
+
+    def window_mask(qx):
+        left = jnp.floor(
+            jnp.minimum(float(w), jnp.minimum(p_f[:, 1], qx))
+        )
+        right = jnp.floor(
+            jnp.minimum(float(w), hw_max[1] - jnp.maximum(p_f[:, 1], qx))
+        )
+        mx = (ox >= -left[None, None, :]) & (ox <= right[None, None, :])
+        return (my & mx).astype(jnp.float32)  # (T, T, N)
+
+    def in_bounds_x(qx):
+        return (qx >= 0.0) & (qx <= hw_max[1])
+
+    # Patch: rows fixed at the template rows, x spans the margin.
+    def gather_patches(qx):
+        base_x = jnp.floor(qx).astype(jnp.int32) - w - R + pad
+        base = jnp.stack([start[:, 0], base_x], axis=-1)
+        if use_dma_gather():
+            patch = gather_windows(d2["img"][None], base, T, P)[:, 0]
+        else:
+            def onep(s):
+                return jax.lax.dynamic_slice(d2["img"], (s[0], s[1]), (T, P))
+
+            patch = jax.vmap(onep)(base)
+        return patch.transpose(1, 2, 0), base_x  # (T, P, N)
+
+    def select_window(patch, rel):
+        """(T, P, N), (N,) int in [0, 2R] -> (T, T+1, N) x-windows."""
+        out = jnp.zeros((T, T + 1, n), jnp.float32)
+        for b in range(2 * R + 1):
+            sel = (rel == b).astype(jnp.float32)[None, None, :]
+            out = out + sel * patch[:, b:b + T + 1]
+        return out
+
+    qx0 = p_f[:, 1] + flow[:, 1]
+    qx0_safe = jnp.where(in_bounds_x(qx0), qx0, p_f[:, 1])
+    patch0, base0 = gather_patches(qx0_safe)
+
+    # Mask + scalar structure sum hoisted out of the loop (entry-clamped,
+    # same policy as the 2D lane kernel).
+    mask = window_mask(qx0_safe)
+    sxx = jnp.sum(gxx_w * mask, axis=(0, 1))
+    count = jnp.sum(mask, axis=(0, 1))
+    inv_sxx = jnp.where(sxx > 1e-12, 1.0 / jnp.maximum(sxx, 1e-12), 0.0)
+    eig_ok = (sxx / jnp.maximum(count, 1.0)) >= eig_thresh
+
+    def body(carry):
+        it, fx_flow, running, ok, patch, base = carry
+        qx = p_f[:, 1] + fx_flow
+        inb = in_bounds_x(qx)
+        fail = running & ~inb
+
+        qx_safe = jnp.where(inb, qx, p_f[:, 1])
+        qx_floor = jnp.floor(qx_safe)
+        frac = qx_safe - qx_floor
+        rel = qx_floor.astype(jnp.int32) - w + pad - base
+        escaped = (rel < 0) | (rel > 2 * R)
+        if escape_fail:
+            fail = fail | (running & escaped)
+        rel = jnp.clip(rel, 0, 2 * R)
+
+        big = select_window(patch, rel)  # (T, T+1, N)
+        fxb = frac[None, None, :]
+        img2_s = (1.0 - fxb) * big[:, :T] + fxb * big[:, 1:]
+
+        diff = (img1_w - img2_s) * mask
+        bx = jnp.sum(diff * ix_w, axis=(0, 1))
+        step_x = inv_sxx * bx
+
+        converged = jnp.abs(step_x) < eps
+        new_fx = fx_flow + step_x
+        fail = fail | (
+            running & ~converged & ~in_bounds_x(p_f[:, 1] + new_fx)
+        )
+
+        advance = running & ~fail & ~converged & ~escaped
+        fx_flow = jnp.where(advance, new_fx, fx_flow)
+        ok = ok & ~fail
+        running = running & ok & ~converged & ~escaped
+        return it + 1, fx_flow, running, ok, patch, base
+
+    ok = ok & eig_ok
+    fx0 = flow[:, 1]
+
+    if _fixed_trip_loop():
+        def body_i(it, carry):
+            return body((it,) + carry)[1:]
+
+        fx_flow, _, ok, _, _ = jax.lax.fori_loop(
+            0, iters, body_i, (fx0, ok, ok, patch0, base0)
+        )
+        return jnp.stack([jnp.zeros_like(fx_flow), fx_flow], -1), ok
+
+    stop_thresh = jnp.minimum(min_active, jnp.sum(ok) // 32)
+
+    def cond(carry):
+        it, _, running, _, _, _ = carry
+        return (it < iters) & (jnp.sum(running) > stop_thresh)
+
+    _, fx_flow, _, ok, _, _ = jax.lax.while_loop(
+        cond, body, (0, fx0, ok, ok, patch0, base0)
+    )
+    return jnp.stack([jnp.zeros_like(fx_flow), fx_flow], -1), ok
+
+
 def _fixed_trip_loop() -> bool:
     """Trace-time switch: run LK solver loops with a static trip count
     (lax.fori_loop) instead of the early-exit while_loop. Per-point results
@@ -574,10 +731,14 @@ def _use_pallas_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _select_level_fn(pad: int, window: int, has_stack: bool):
+def _select_level_fn(pad: int, window: int, has_stack: bool,
+                     one_d: bool = False):
     """Pick the per-level LK kernel: lane-major patch-cached (default) >
     point-major patch-cached (SLAMTPU_NO_LANE_LK) > exact per-iteration
-    gather (SLAMTPU_NO_PATCH_LK, or insufficient padding/stack)."""
+    gather (SLAMTPU_NO_PATCH_LK, or insufficient padding/stack).
+    one_d selects the disparity-only rectified-stereo kernel (lane-major
+    only; the fallback paths run the 2D kernel — the caller row-corrects
+    the output either way)."""
     import os
     if (
         os.environ.get("SLAMTPU_NO_PATCH_LK")
@@ -587,12 +748,15 @@ def _select_level_fn(pad: int, window: int, has_stack: bool):
         return _lk_level
     if os.environ.get("SLAMTPU_NO_LANE_LK"):
         return _lk_level_patch
+    if one_d:
+        return _lk_level_lanes_1d
     return _lk_level_patch_lanes
 
 
 def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
             iters, eps, eig_thresh, pad, use_pallas=None,
-            min_active: int = 0, escape_fail: bool = False):
+            min_active: int = 0, escape_fail: bool = False,
+            one_d: bool = False):
     """Pyramidal LK for N points (reference optflow!, lucas_kanade.jl:9-100).
 
     points: (N, 2) f32 full-resolution (y, x).
@@ -624,7 +788,7 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
             # per-iteration dependent gathers; lane-major layout keeps the
             # point axis on the 128 TPU lanes. Requires enough image padding
             # for the (T+1+2*MARGIN) patches.
-            level_fn = _select_level_fn(pad, window, "stack" in d1)
+            level_fn = _select_level_fn(pad, window, "stack" in d1, one_d)
 
             # Skip the whole level when no point is alive (e.g. the
             # failed-prior retry pass is usually empty).
@@ -814,7 +978,7 @@ RETRY_CAP = 256
 def fb_retry_compact(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
                      levels, prior_level=1, window=9, iters=30, eps=1e-2,
                      eig_thresh=1e-4, pad=17, max_distance=1.0,
-                     min_active=0):
+                     min_active=0, one_d=False):
     """Forward-backward KLT with the failed-prior retry COMPACTED.
 
     Same semantics as fb_shadow (and the reference's sequential retry,
@@ -828,7 +992,7 @@ def fb_retry_compact(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
     Returns (new_px, ok, tracked_with_prior).
     """
     n = px.shape[0]
-    level_fn = _select_level_fn(pad, window, True)
+    level_fn = _select_level_fn(pad, window, True, one_d)
 
     def cascade(px_c, active0, inject_mask, inject_disp, m_active):
         flow = jnp.zeros_like(px_c)
@@ -862,7 +1026,7 @@ def fb_retry_compact(pyr_prev, pyr_cur, px, prior_mask, disp_prior, valid, *,
             pyr_cur, pyr_prev, px_c + flow_f, -flow_f, st,
             levels=0, window=window, iters=iters, eps=eps,
             eig_thresh=eig_thresh, pad=pad, min_active=min_active,
-            escape_fail=True,
+            escape_fail=True, one_d=one_d,
         )
         dist_fb = jnp.linalg.norm(flow_f + flow_b, axis=-1)
         return st & bst & (dist_fb < max_distance)
@@ -904,6 +1068,7 @@ def fb_cascade(*args, **kw):
     results are identical below RETRY_CAP failures."""
     import os
     if os.environ.get("SLAMTPU_LK_SHADOW"):
+        kw.pop("one_d", None)  # shadow path is 2D-only (A/B fallback)
         return fb_shadow(*args, **kw)
     return fb_retry_compact(*args, **kw)
 

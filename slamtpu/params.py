@@ -44,6 +44,11 @@ class Params:
     # stragglers). 0 = exact reference semantics (every point runs its full
     # iteration budget).
     lk_min_active: int = 16
+    # Disparity-only (1D) LK for the rectified-stereo keyframe matcher: the
+    # tracked row is discarded by the row correction (map_manager.jl:586-588)
+    # either way; pinning flow_y = 0 halves the solver-loop work (TPU knob,
+    # ops/lucas_kanade.py::_lk_level_lanes_1d).
+    stereo_klt_1d: bool = False
     # RANSAC hypothesis counts (hypothesis-parallel; reference RecoverPose
     # uses sequential sampling — accuracy parity, not bitwise). 128 draws
     # on the post-fb-filtered correspondence sets (~90% inlier ratio) give

@@ -231,3 +231,100 @@ def test_patch_kernel_matches_exact_at_large_drift(monkeypatch):
             assert not (ok_p & ~ok_e).any(), (
                 f"shift {shift}: patch kernel minted survivors"
             )
+
+
+@pytest.mark.parametrize("shift_x", [3.4, -7.6])
+def test_lk_1d_recovers_horizontal_shift(shift_x):
+    """Disparity-only kernel recovers a pure horizontal (stereo-like)
+    shift as accurately as the 2D kernel."""
+    h, w = 120, 160
+    img1 = make_texture(h, w, seed=5)
+    img2 = make_texture(h, w, seed=5, rng_shift=(0.0, shift_x))
+
+    levels = 3
+    pyr1 = build_lk_pyramid(jnp.asarray(img1), levels=levels, pad=PAD)
+    pyr2 = build_lk_pyramid(jnp.asarray(img2), levels=levels, pad=PAD)
+
+    rng = np.random.default_rng(1)
+    n = 64
+    pts = np.stack(
+        [rng.uniform(25, h - 25, n), rng.uniform(25, w - 25, n)], axis=-1
+    ).astype(np.float32)
+    disp = jnp.zeros((n, 2), dtype=jnp.float32)
+    valid = jnp.ones((n,), dtype=bool)
+
+    flow1d, ok1d = lk_flow(
+        pyr1, pyr2, jnp.asarray(pts), disp, valid,
+        levels=levels, window=9, iters=30, eps=1e-2, eig_thresh=1e-4,
+        pad=PAD, one_d=True,
+    )
+    flow1d = np.asarray(flow1d)
+    ok1d = np.asarray(ok1d)
+    assert ok1d.mean() > 0.7
+    assert np.all(flow1d[:, 0] == 0.0)  # y pinned
+    err = np.abs(flow1d[ok1d, 1] - shift_x)
+    assert np.median(err) < 0.25
+
+    # Parity with the 2D kernel's x-component on the same points.
+    flow2d, ok2d = lk_flow(
+        pyr1, pyr2, jnp.asarray(pts), disp, valid,
+        levels=levels, window=9, iters=30, eps=1e-2, eig_thresh=1e-4,
+        pad=PAD,
+    )
+    both = ok1d & np.asarray(ok2d)
+    assert both.mean() > 0.6
+    dx = np.abs(flow1d[both, 1] - np.asarray(flow2d)[both, 1])
+    assert np.median(dx) < 0.2
+
+
+def test_stereo_1d_fb_cascade_matches_2d():
+    """fb_retry_compact with one_d=True finds the same stereo matches as
+    the 2D cascade on a rectified pair with a disparity field (prior and
+    plain families, row-corrected output contract)."""
+    from slamtpu.ops.lucas_kanade import fb_retry_compact
+
+    h, w = 120, 200
+    img_l = make_texture(h, w, seed=9)
+    # Rectified right view: horizontal shift (uniform disparity).
+    d_true = 6.3
+    img_r = make_texture(h, w, seed=9, rng_shift=(0.0, -d_true))
+
+    levels = 3
+    pyr_l = build_lk_pyramid(jnp.asarray(img_l), levels=levels, pad=PAD)
+    pyr_r = build_lk_pyramid(jnp.asarray(img_r), levels=levels, pad=PAD)
+
+    rng = np.random.default_rng(2)
+    n = 96
+    pts = np.stack(
+        [rng.uniform(25, h - 25, n), rng.uniform(25, w - 25, n)], axis=-1
+    ).astype(np.float32)
+    valid = jnp.ones((n,), dtype=bool)
+    # Half the points enter with a (noisy) disparity prior like 3D
+    # keypoints do in the keyframe program.
+    prior_mask = jnp.asarray(np.arange(n) % 2 == 0)
+    disp = jnp.where(
+        prior_mask[:, None],
+        jnp.asarray(
+            np.stack([np.zeros(n), np.full(n, -d_true / 2 + 0.4)], -1),
+            dtype=jnp.float32,
+        ),
+        0.0,
+    )
+
+    out = {}
+    for name, one_d in (("2d", False), ("1d", True)):
+        px_new, ok, _ = fb_retry_compact(
+            pyr_l, pyr_r, jnp.asarray(pts), prior_mask, disp, valid,
+            levels=levels, prior_level=1, window=9, iters=30, eps=1e-2,
+            eig_thresh=1e-4, pad=PAD, max_distance=1.0, one_d=one_d,
+        )
+        out[name] = (np.asarray(px_new), np.asarray(ok))
+
+    px2, ok2 = out["2d"]
+    px1, ok1 = out["1d"]
+    # 1D keeps (nearly) the survivor set and agrees on the disparity.
+    assert ok1.mean() >= ok2.mean() - 0.05
+    both = ok1 & ok2
+    assert both.mean() > 0.6
+    assert np.median(np.abs(px1[both, 1] - px2[both, 1])) < 0.2
+    assert np.median(np.abs(px1[both, 1] - (pts[both, 1] - d_true))) < 0.3
