@@ -527,6 +527,18 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
 
     ok = ok & eig_ok
 
+    from .lk_pallas_lanes import solver_loop_pallas, use_lanes_pallas
+
+    if use_lanes_pallas():
+        # Fused Pallas solver loop: identical arithmetic, every
+        # per-iteration intermediate VMEM-resident (lk_pallas_lanes.py).
+        # Fixed trip count; min_active's global early exit does not apply.
+        return solver_loop_pallas(
+            img1_w, iy_w, ix_w, mask, patch0, ia, ib, ic, p_f, flow, ok,
+            base0, window=w, hw=hw, pad=pad, iters=iters, eps=eps,
+            margin=R, escape_fail=escape_fail, one_d=False,
+        )
+
     if _fixed_trip_loop():
         # Fixed-trip variant: per-point eps/fail semantics are identical
         # (converged/failed points stop advancing via the masks), only the
@@ -690,6 +702,18 @@ def _lk_level_lanes_1d(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
 
     ok = ok & eig_ok
     fx0 = flow[:, 1]
+
+    from .lk_pallas_lanes import solver_loop_pallas, use_lanes_pallas
+
+    if use_lanes_pallas():
+        # Fused Pallas solver loop (1D mode: ic carries 1/Gxx, y unused).
+        zeros = jnp.zeros_like(inv_sxx)
+        base2 = jnp.stack([jnp.zeros_like(base0), base0], axis=-1)
+        return solver_loop_pallas(
+            img1_w, img1_w, ix_w, mask, patch0, zeros, zeros, inv_sxx,
+            p_f, flow, ok, base2, window=w, hw=hw, pad=pad, iters=iters,
+            eps=eps, margin=R, escape_fail=escape_fail, one_d=True,
+        )
 
     if _fixed_trip_loop():
         def body_i(it, carry):
