@@ -254,3 +254,106 @@ def test_f16_image_upcast(tpu_backend):
         )[0]["img"]
     )
     assert np.abs(p32 - p16).max() < 2e-3
+
+
+def test_lk_1d_matches_2d_on_device(tpu_backend):
+    """Disparity-only stereo LK kernel vs the 2D kernel on the real
+    backend (Mosaic DMA-gather path + lane layouts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.ops.image import build_lk_pyramid
+    from slamtpu.ops.lucas_kanade import lk_flow, lk_pad
+
+    levels, window = 2, 5
+    pad = lk_pad(window)
+    h, w, n = 96, 128, 64
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w))
+    centers = []
+    for _ in range(150):
+        cy_, cx_ = rng.uniform(12, h - 12), rng.uniform(12, w - 12)
+        s = rng.uniform(1.2, 2.2)
+        img += rng.uniform(0.4, 1.0) * np.exp(
+            -(((yy - cy_) ** 2) + (xx - cx_) ** 2) / (2 * s * s)
+        )
+        centers.append((cy_, cx_))
+    img = (img / img.max()).astype(np.float32)
+    img_r = np.roll(img, -3, 1).astype(np.float32)  # disparity 3 px
+    pts = np.asarray(centers[:n], np.float32)
+
+    pyr_l = build_lk_pyramid(jnp.asarray(img), levels=levels, pad=pad)
+    pyr_r = build_lk_pyramid(jnp.asarray(img_r), levels=levels, pad=pad)
+    disp = jnp.zeros((n, 2), jnp.float32)
+    valid = jnp.ones((n,), bool)
+
+    out = {}
+    for name, one_d in (("2d", False), ("1d", True)):
+        flow, ok = jax.device_get(lk_flow(
+            pyr_l, pyr_r, jnp.asarray(pts), disp, valid,
+            levels=levels, window=window, iters=30, eps=1e-2,
+            eig_thresh=1e-4, pad=pad, one_d=one_d,
+        ))
+        out[name] = (flow, ok)
+    both = out["1d"][1] & out["2d"][1]
+    assert both.mean() > 0.5
+    dx = np.abs(out["1d"][0][both, 1] - out["2d"][0][both, 1])
+    assert np.median(dx) < 0.2
+    assert np.median(np.abs(out["1d"][0][both, 1] - 3.0)) < 0.3
+
+
+def test_fused_pallas_solver_on_device(tpu_backend):
+    """The fused Pallas solver loop (SLAMTPU_PALLAS_LK) must lower through
+    Mosaic and match the XLA loop on the real backend — both 2D and 1D."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.ops.image import build_lk_pyramid
+    from slamtpu.ops.lucas_kanade import lk_flow, lk_pad
+
+    levels, window = 2, 5
+    pad = lk_pad(window)
+    h, w, n = 96, 128, 64
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w))
+    centers = []
+    for _ in range(150):
+        cy_, cx_ = rng.uniform(12, h - 12), rng.uniform(12, w - 12)
+        s = rng.uniform(1.2, 2.2)
+        img += rng.uniform(0.4, 1.0) * np.exp(
+            -(((yy - cy_) ** 2) + (xx - cx_) ** 2) / (2 * s * s)
+        )
+        centers.append((cy_, cx_))
+    img = (img / img.max()).astype(np.float32)
+    img2 = np.roll(np.roll(img, 1, 0), -2, 1).astype(np.float32)
+    pts = np.asarray(centers[:n], np.float32)
+
+    pyr1 = build_lk_pyramid(jnp.asarray(img), levels=levels, pad=pad)
+    pyr2 = build_lk_pyramid(jnp.asarray(img2), levels=levels, pad=pad)
+    disp = jnp.zeros((n, 2), jnp.float32)
+    valid = jnp.ones((n,), bool)
+
+    for one_d in (False, True):
+        outs = {}
+        for env_on in (False, True):
+            if env_on:
+                os.environ["SLAMTPU_PALLAS_LK"] = "1"
+            try:
+                flow, ok = jax.device_get(lk_flow(
+                    pyr1, pyr2, jnp.asarray(pts), disp, valid,
+                    levels=levels, window=window, iters=30, eps=1e-2,
+                    eig_thresh=1e-4, pad=pad, one_d=one_d,
+                ))
+            finally:
+                os.environ.pop("SLAMTPU_PALLAS_LK", None)
+            outs[env_on] = (flow, ok)
+        ok_x, ok_p = outs[False][1], outs[True][1]
+        assert (ok_x == ok_p).mean() > 0.9, f"one_d={one_d}"
+        both = ok_x & ok_p
+        assert both.mean() > 0.5
+        err = np.linalg.norm(
+            outs[False][0][both] - outs[True][0][both], axis=-1
+        )
+        assert np.max(err) < 1e-2, f"one_d={one_d}"
