@@ -86,17 +86,31 @@ def detect_keypoints(img, occupied_px, occupied_valid, *, cell_size: int,
     # took the remote XLA helper ~500 s to compile — keep the scatter.)
     yx = jnp.round(occupied_px).astype(jnp.int32)
     yx = jnp.clip(yx, 0, jnp.array([h - 1, w - 1]))
-    occ = jnp.zeros((h, w), jnp.float32).at[yx[:, 0], yx[:, 1]].max(
-        occupied_valid.astype(jnp.float32)
-    )
-    suppressed = _dilate(occ, radius) > 0.0
-    resp = jnp.where(suppressed, 0.0, resp)
 
-    # Local maxima (3x3) above min_response.
-    pooled = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
-    resp = jnp.where((resp >= pooled) & (resp > min_response), resp, 0.0)
+    from .detect_pallas import suppress_and_nms, use_detect_pallas
+
+    if use_detect_pallas():
+        # Fused VMEM kernel: rasterize + dilate + suppress + NMS in one
+        # pass (ops/detect_pallas.py) — replaces the ~8 ms scatter, the
+        # dilation convs and the reduce_window below.
+        resp = suppress_and_nms(
+            resp, yx, occupied_valid, radius=radius,
+            min_response=min_response,
+        )
+    else:
+        occ = jnp.zeros((h, w), jnp.float32).at[yx[:, 0], yx[:, 1]].max(
+            occupied_valid.astype(jnp.float32)
+        )
+        suppressed = _dilate(occ, radius) > 0.0
+        resp = jnp.where(suppressed, 0.0, resp)
+
+        # Local maxima (3x3) above min_response.
+        pooled = jax.lax.reduce_window(
+            resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+        resp = jnp.where(
+            (resp >= pooled) & (resp > min_response), resp, 0.0
+        )
 
     # Per-cell top-k via padded reshape.
     gy = -(-h // cell_size)

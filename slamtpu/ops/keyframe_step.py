@@ -103,14 +103,27 @@ def _shi_tomasi_cells(pyr_left, px, occ_rows, *, pad, height, width,
     # variant admitted a strict subset and starved the map).
     yx = jnp.round(px).astype(jnp.int32)
     yx = jnp.clip(yx, 0, jnp.array([height - 1, width - 1]))
-    occ = jnp.zeros((height, width), jnp.float32).at[yx[:, 0], yx[:, 1]].max(
-        occ_rows.astype(jnp.float32)
-    )
-    resp = jnp.where(_dilate(occ, radius) > 0.0, 0.0, resp)
-    pooled = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
-    resp = jnp.where((resp >= pooled) & (resp > min_response), resp, 0.0)
+
+    from .detect_pallas import suppress_and_nms, use_detect_pallas
+
+    if use_detect_pallas():
+        # Fused VMEM kernel (ops/detect_pallas.py): rasterize + dilate +
+        # suppress + NMS in one pass, same dilate-before-NMS ordering.
+        resp = suppress_and_nms(
+            resp, yx, occ_rows, radius=radius, min_response=min_response
+        )
+    else:
+        occ = (
+            jnp.zeros((height, width), jnp.float32)
+            .at[yx[:, 0], yx[:, 1]].max(occ_rows.astype(jnp.float32))
+        )
+        resp = jnp.where(_dilate(occ, radius) > 0.0, 0.0, resp)
+        pooled = jax.lax.reduce_window(
+            resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+        resp = jnp.where(
+            (resp >= pooled) & (resp > min_response), resp, 0.0
+        )
     gy = -(-height // cell_size)
     gx = -(-width // cell_size)
     padded = jnp.pad(

@@ -357,3 +357,38 @@ def test_fused_pallas_solver_on_device(tpu_backend):
             outs[False][0][both] - outs[True][0][both], axis=-1
         )
         assert np.max(err) < 1e-2, f"one_d={one_d}"
+
+
+def test_fused_detect_kernel_on_device(tpu_backend):
+    """suppress_and_nms (SLAMTPU_PALLAS_DETECT) vs the XLA scatter +
+    dilate + reduce_window tail, bit-exact on the real backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.ops.detect_pallas import suppress_and_nms
+    from slamtpu.ops.features import _dilate
+
+    h, w = 96, 200
+    rng = np.random.default_rng(17)
+    resp = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    n = 40
+    yx = np.stack(
+        [rng.integers(0, h, n), rng.integers(0, w, n)], axis=-1
+    ).astype(np.int32)
+    valid = rng.uniform(size=n) > 0.3
+
+    occ = jnp.zeros((h, w), jnp.float32).at[
+        jnp.asarray(yx)[:, 0], jnp.asarray(yx)[:, 1]
+    ].max(jnp.asarray(valid).astype(jnp.float32))
+    r = jnp.where(_dilate(occ, 17) > 0.0, 0.0, jnp.asarray(resp))
+    pooled = jax.lax.reduce_window(
+        r, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    ref = jax.device_get(
+        jnp.where((r >= pooled) & (r > 0.01), r, 0.0)
+    )
+    out = jax.device_get(suppress_and_nms(
+        jnp.asarray(resp), jnp.asarray(yx), jnp.asarray(valid),
+        radius=17, min_response=0.01,
+    ))
+    np.testing.assert_array_equal(out, ref)
