@@ -15,6 +15,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize pre-imports jax, so the env var alone is too late.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60

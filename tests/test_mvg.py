@@ -152,3 +152,37 @@ def test_pnp_refine_improves_pose():
     assert float(res["final_error"]) < float(res["initial_error"])
     assert np.allclose(theta[:3], theta_true[:3], atol=2e-3)
     assert np.allclose(theta[3:], theta_true[3:], atol=2e-2)
+
+
+def test_pnp_analytic_jacobian_matches_jacfwd():
+    """The closed-form LM Jacobian (ops/pnp.py::_pnp_jacobian) equals the
+    autodiff Jacobian of the weighted residuals."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.ops.pnp import _pnp_jacobian, _pnp_residuals
+
+    rng = np.random.default_rng(12)
+    n = 50
+    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                    rng.uniform(5, 20, n)], axis=-1).astype(np.float32)
+    theta = jnp.asarray(
+        np.concatenate([rng.normal(0, 0.3, 3), rng.normal(0, 0.5, 3)]),
+        jnp.float32,
+    )
+    intr = jnp.asarray(np.array([450.0, 440.0, 320.0, 240.0], np.float32))
+    weights = jnp.asarray(
+        (rng.uniform(size=n) > 0.2).astype(np.float32)
+    )
+    pix = jnp.asarray(rng.uniform(0, 480, (n, 2)).astype(np.float32))
+
+    def flat(th):
+        r, _ = _pnp_residuals(th, jnp.asarray(pts), pix, intr)
+        return r * weights[:, None]
+
+    J_ad = np.asarray(jax.jacfwd(flat)(theta))        # (N, 2, 6)
+    J_an = np.asarray(
+        _pnp_jacobian(theta, jnp.asarray(pts), weights, intr)
+    )
+    scale = np.abs(J_ad).max()
+    assert np.abs(J_an - J_ad).max() < 1e-3 * scale
