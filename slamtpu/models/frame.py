@@ -42,13 +42,16 @@ class Keypoint:
             self.right_position = self.position.copy()
 
     def copy(self) -> "Keypoint":
+        """Snapshot SHARING the field arrays: every mutation path in the
+        codebase rebinds these fields (kp.pixel = new_array), never writes
+        into them, so sharing is safe and skips 7 array copies per
+        keypoint — keyframe deep_clone runs this for every keypoint
+        (mm.clone was ~4 ms per keyframe)."""
         return Keypoint(
-            self.id, self.pixel.copy(), self.undistorted_pixel.copy(),
-            self.position.copy(),
-            None if self.descriptor is None else self.descriptor.copy(),
-            self.is_3d, self.is_retracked, self.is_stereo,
-            self.right_pixel.copy(), self.right_undistorted_pixel.copy(),
-            self.right_position.copy(),
+            self.id, self.pixel, self.undistorted_pixel, self.position,
+            self.descriptor, self.is_3d, self.is_retracked, self.is_stereo,
+            self.right_pixel, self.right_undistorted_pixel,
+            self.right_position,
         )
 
 
@@ -163,6 +166,53 @@ class Frame:
             self.nb_stereo_kpts -= 1
         self._grid_update(ckp, kp)
         self.keypoints[kpid] = kp
+
+    def update_keypoints_precomputed_batch(self, kpids, pixels, undistorted,
+                                           positions):
+        """Batched update_keypoint_precomputed over the fused step's output
+        rows: one vectorized cell pass + in-place field rebinds instead of
+        per-point Keypoint copies (~400 copies/frame were ~40% of the host
+        apply cost). Rebinding is safe: keyframe snapshots deep-copy every
+        Keypoint (deep_clone), so current-frame objects are never shared.
+        Semantics identical to update_keypoint_precomputed (frame.jl:252-270)
+        per point."""
+        kps = []
+        sel = []
+        for i, kpid in enumerate(kpids):
+            kp = self.keypoints.get(kpid)
+            if kp is not None:
+                kps.append(kp)
+                sel.append(i)
+        if not kps:
+            return
+        pixels = np.asarray(pixels, dtype=np.float64)[sel]
+        und = np.asarray(undistorted, dtype=np.float64)[sel]
+        pos = np.asarray(positions, dtype=np.float64)[sel]
+        cs = self.cell_size
+        old_px = np.stack([kp.pixel for kp in kps])
+        oc = np.round(old_px).astype(np.int64) // cs
+        nc = np.round(pixels).astype(np.int64) // cs
+        moved = (oc != nc).any(axis=1)
+        for j, kp in enumerate(kps):
+            kp.pixel = pixels[j]
+            kp.undistorted_pixel = und[j]
+            kp.position = pos[j]
+            if kp.is_stereo:
+                kp.is_stereo = False
+                self.nb_stereo_kpts -= 1
+            if moved[j]:
+                old_cell = (int(oc[j, 0]), int(oc[j, 1]))
+                bucket = self.keypoints_grid.get(old_cell)
+                if bucket is not None and kp.id in bucket:
+                    bucket.discard(kp.id)
+                    if not bucket:
+                        self.nb_occupied_cells -= 1
+                        del self.keypoints_grid[old_cell]
+                new_cell = (int(nc[j, 0]), int(nc[j, 1]))
+                bucket = self.keypoints_grid.setdefault(new_cell, set())
+                if not bucket:
+                    self.nb_occupied_cells += 1
+                bucket.add(kp.id)
 
     def update_stereo_keypoint_precomputed(self, kpid, right_pixel,
                                            right_und, right_position):

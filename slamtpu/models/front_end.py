@@ -351,16 +351,20 @@ class FrontEnd:
         new_px = per_kp[:n, 0:2]
         und_px = per_kp[:n, 2:4]
         bearings = per_kp[:n, 4:7]
+        upd = [
+            i for i, kpid in enumerate(ids)
+            if kpid is not None and attempted[i] and ok[i]
+        ]
+        if upd:
+            frame.update_keypoints_precomputed_batch(
+                [ids[i] for i in upd], new_px[upd], und_px[upd],
+                bearings[upd],
+            )
         for i, kpid in enumerate(ids):
-            if kpid is None or not attempted[i]:
+            if kpid is None or not attempted[i] or ok[i]:
                 continue
-            if ok[i]:
-                frame.update_keypoint_precomputed(
-                    kpid, new_px[i], und_px[i], bearings[i]
-                )
-            else:
-                mm.remove_obs_from_current_frame(kpid)
-                ids[i] = None
+            mm.remove_obs_from_current_frame(kpid)
+            ids[i] = None
 
         # 2. Essential epipolar outlier removal + 5pt fallback pose
         #    (front_end.jl:102-109,315-330).
