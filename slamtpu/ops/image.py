@@ -123,7 +123,19 @@ def lk_pyramid_impl(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
                     product_sigma: float = 4.0):
     """Unjitted pyramid builder — callable from inside larger fused programs
     (e.g. ops/frontend_step.py builds the current frame's pyramid in the
-    same program as the tracking step, saving a dispatch round trip)."""
+    same program as the tracking step, saving a dispatch round trip).
+
+    SLAMTPU_PALLAS_PYR=1 (TPU backend) swaps in the fused Pallas level
+    kernel (ops/pyramid_pallas.py) — one launch per level instead of ~7
+    per-pass-overhead-bound XLA ops."""
+    if pad == 11:
+        from .pyramid_pallas import lk_pyramid_pallas_impl, use_pallas_pyramid
+
+        if use_pallas_pyramid():
+            return lk_pyramid_pallas_impl(
+                image, levels=levels, sigma=sigma, pad=pad,
+                product_sigma=product_sigma,
+            )
     image = image.astype(jnp.float32)
     out = []
     current = image

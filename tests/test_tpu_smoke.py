@@ -392,3 +392,31 @@ def test_fused_detect_kernel_on_device(tpu_backend):
         radius=17, min_response=0.01,
     ))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_pyramid_on_device(tpu_backend):
+    """Fused Pallas pyramid (SLAMTPU_PALLAS_PYR) vs the XLA pyramid on the
+    real backend: compiled Mosaic path (DMA halos, rolls, MXU resize), not
+    the interpreter the CPU parity tests use."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.ops.image import lk_pyramid_impl
+    from slamtpu.ops.pyramid_pallas import lk_pyramid_pallas_impl
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 1, (120, 200)).astype(np.float32))
+    want = jax.device_get(
+        jax.jit(lambda x: lk_pyramid_impl(x, levels=3))(img)
+    )
+    got = jax.device_get(
+        jax.jit(
+            lambda x: lk_pyramid_pallas_impl(x, levels=3, interpret=False)
+        )(img)
+    )
+    for lvl in range(4):
+        gs, ws = got[lvl]["stack"], want[lvl]["stack"]
+        assert gs.shape == ws.shape
+        scale = max(1.0, float(np.abs(ws).max()))
+        tol = 5e-5 if lvl == 0 else 1e-3
+        assert np.abs(gs - ws).max() < tol * scale, lvl
