@@ -70,9 +70,10 @@ def load_frames():
 
     from slamtpu.datasets.synthetic import make_scene
 
+    layout = os.environ.get("BENCH_LAYOUT", "slab")
     scene = make_scene(
         n_frames=N_FRAMES, height=376, width=1241, n_points=6000,
-        stereo=True, baseline=0.54, seed=7,
+        stereo=True, baseline=0.54, seed=7, layout=layout,
     )
     frames = [scene.frame(i) for i in range(len(scene))]
     gt = np.stack([p[:3, 3] for p in scene.poses_wc])

@@ -120,7 +120,59 @@ def make_scene(n_frames: int = 30, height: int = 240, width: int = 320,
 
     span_x = 0.9 * width / fx
     span_y = 0.9 * height / fy
-    if layout == "ground":
+    if layout == "city":
+        # Points ON surfaces (a ground plane + fronto-parallel facades at
+        # distinct depths), the way real KITTI features sit on streets and
+        # buildings. Floating-cloud layouts ("slab") make every pair of
+        # blobs at different depths slide across each other under strafe —
+        # a constant-churn occlusion regime real scenes don't have (it
+        # drove ~13%/frame track loss and a keyframe every other frame,
+        # PERF.md). Here occlusions happen only where a facade edge sweeps
+        # the background, matching KITTI's boundary-only occlusion budget.
+        # Three layers covering the whole swept frustum:
+        n_ground = n_points // 3
+        n_wall = n_points // 3
+        n_fac = n_points - n_ground - n_wall
+        # 1. Ground plane (x span scales with depth, like the "ground"
+        #    layout, so it fills the view at every strafe position).
+        gd = rng.uniform(4.0, 40.0, n_ground)
+        ground = np.stack(
+            [
+                rng.uniform(-2.0 * span_x, 3.5 * span_x, n_ground) * gd,
+                1.5 + rng.normal(0.0, 0.01, n_ground),
+                gd,
+            ],
+            axis=-1,
+        )
+        # 2. A far background wall (building fronts across the street):
+        #    persistent texture behind everything.
+        wall = np.stack(
+            [
+                rng.uniform(-20.0, 28.0, n_wall),
+                rng.uniform(-2.4, 1.5, n_wall),
+                30.0 + rng.normal(0.0, 0.05, n_wall),
+            ],
+            axis=-1,
+        )
+        # 3. Mid-depth facades tiling the swept range at staggered depths;
+        #    their edges sweep the wall/ground and produce the (boundary-
+        #    only) occlusion events.
+        mids = [(-8.0 + 4.5 * k, [9.0, 12.5, 16.0][k % 3])
+                for k in range(6)]
+        per = n_fac // len(mids)
+        parts = [ground, wall]
+        for k, (xc, z) in enumerate(mids):
+            m = per if k < len(mids) - 1 else n_fac - per * (len(mids) - 1)
+            parts.append(np.stack(
+                [
+                    xc + rng.uniform(-1.8, 1.8, m),
+                    rng.uniform(-1.9, 1.45, m),
+                    z + rng.normal(0.0, 0.02, m),
+                ],
+                axis=-1,
+            ))
+        points = np.concatenate(parts, axis=0)
+    elif layout == "ground":
         # Camera at y=0 looking down +z; points on a nearly flat plane
         # ~1.5 units below (y is down in camera coords). mm-scale roughness
         # keeps blob texture without breaking the planar degeneracy.
