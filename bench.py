@@ -114,6 +114,8 @@ def main():
         params.async_keyframe = os.environ["BENCH_ASYNC_KF"] == "1"
     if os.environ.get("BENCH_STEREO_1D"):
         params.stereo_klt_1d = os.environ["BENCH_STEREO_1D"] == "1"
+    if os.environ.get("BENCH_SUBPIX"):
+        params.subpixel_detect = os.environ["BENCH_SUBPIX"] == "1"
     saver = ReplaySaver()
     sm = SlamManager(params, camera, right_camera=right_camera,
                      slam_io=saver)

@@ -26,7 +26,9 @@ from ..ops.features import (
 class Extractor:
     def __init__(self, max_points: int, radius: int, grid_resolution,
                  cell_size: int, min_response: float = 1e-4,
-                 capacity: int = 1024, brief_seed: int = 123):
+                 capacity: int = 1024, brief_seed: int = 123,
+                 subpix: bool = False):
+        self.subpix = subpix
         self.max_points = max_points
         self.radius = radius
         self.grid_resolution = tuple(grid_resolution)
@@ -59,7 +61,7 @@ class Extractor:
             vals, ys, xs = detect_keypoints(
                 image_dev, occ, val,
                 cell_size=self.cell_size, radius=self.radius,
-                min_response=self.min_response,
+                min_response=self.min_response, subpix=self.subpix,
             )
         with TIMERS.stage("ex.fetch"):
             vals, ys, xs = jax.device_get((vals, ys, xs))
@@ -69,7 +71,7 @@ class Extractor:
             for j in range(k):
                 if vals[c, j] <= self.min_response:
                     break
-                out.append((int(ys[c, j]), int(xs[c, j])))
+                out.append((float(ys[c, j]), float(xs[c, j])))
         return out
 
     def describe(self, image_dev, keypoints: np.ndarray):

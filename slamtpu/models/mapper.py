@@ -212,7 +212,7 @@ class Mapper:
                     cell_size=ext.cell_size, radius=ext.radius,
                     min_response=ext.min_response,
                     height=frame.camera.height, width=frame.camera.width,
-                    stereo_1d=p.stereo_klt_1d,
+                    stereo_1d=p.stereo_klt_1d, subpix=p.subpixel_detect,
                 )
             with TIMERS.stage("mp.kf_fused.fetch"):
                 per_slot, n_new = jax.device_get(res)
@@ -297,7 +297,7 @@ class Mapper:
                 min_response=ext.min_response,
                 height=frame.camera.height, width=frame.camera.width,
                 threshold=p.max_reprojection_error,
-                stereo_1d=p.stereo_klt_1d,
+                stereo_1d=p.stereo_klt_1d, subpix=p.subpixel_detect,
             )
             for buf in (per_slot, n_new):
                 try:

@@ -58,6 +58,7 @@ class SlamManager:
         self.extractor = Extractor(
             params.max_nb_keypoints, avoidance_radius, grid_resolution,
             params.max_distance, capacity=params.keypoint_capacity,
+            subpix=params.subpixel_detect,
         )
         self.map_manager = MapManager(
             params, self.current_frame, self.extractor

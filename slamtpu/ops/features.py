@@ -61,11 +61,64 @@ def _dilate(occ, radius: int):
     return (x[0, 0] > 0.5).astype(occ.dtype)
 
 
+def subpixel_refine(resp_raw, ys, xs):
+    """Parabola-vertex subpixel refinement of detected corners on the RAW
+    Shi-Tomasi response (pre-suppression/NMS — the zeroed neighbors of the
+    NMS map would break the fit). Per axis:
+
+        offset = (f(-1) - f(+1)) / (2 (f(-1) - 2 f(0) + f(+1)))
+
+    clamped to [-0.5, 0.5] and zeroed at image borders or non-strict
+    maxima. Beyond the reference (integer ImageFeatures corners,
+    extractor.jl:63-95): integer detection quantizes corners at ~0.29 px
+    RMS, which is the stereo-triangulation noise floor of the bench
+    (PERF.md). Returns float32 (ys + dy, xs + dx) with ys/xs int shapes
+    preserved."""
+    h, w = resp_raw.shape
+    shape = ys.shape
+    yf = ys.reshape(-1).astype(jnp.int32)
+    xf = xs.reshape(-1).astype(jnp.int32)
+    start = jnp.stack([yf - 1, xf - 1], axis=-1)
+
+    from .dma_gather import gather_windows, use_dma_gather
+
+    if use_dma_gather():
+        win = gather_windows(resp_raw[None], start, 3, 3)[:, 0]
+    else:
+        def one(s):
+            return jax.lax.dynamic_slice(
+                resp_raw, (s[0], s[1]), (3, 3)
+            )
+        win = jax.vmap(one)(start)
+    f0 = win[:, 1, 1]
+    num_y = win[:, 0, 1] - win[:, 2, 1]
+    den_y = win[:, 0, 1] - 2.0 * f0 + win[:, 2, 1]
+    num_x = win[:, 1, 0] - win[:, 1, 2]
+    den_x = win[:, 1, 0] - 2.0 * f0 + win[:, 1, 2]
+    ok_y = (yf >= 1) & (yf <= h - 2) & (den_y < -1e-12)
+    ok_x = (xf >= 1) & (xf <= w - 2) & (den_x < -1e-12)
+    dy = jnp.where(
+        ok_y,
+        jnp.clip(num_y / (2.0 * jnp.where(ok_y, den_y, -1.0)), -0.5, 0.5),
+        0.0,
+    )
+    dx = jnp.where(
+        ok_x,
+        jnp.clip(num_x / (2.0 * jnp.where(ok_x, den_x, -1.0)), -0.5, 0.5),
+        0.0,
+    )
+    ysf = (yf.astype(jnp.float32) + dy).reshape(shape)
+    xsf = (xf.astype(jnp.float32) + dx).reshape(shape)
+    return ysf, xsf
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cell_size", "radius", "min_response")
+    jax.jit,
+    static_argnames=("cell_size", "radius", "min_response", "subpix"),
 )
 def detect_keypoints(img, occupied_px, occupied_valid, *, cell_size: int,
-                     radius: int, min_response: float = 1e-4):
+                     radius: int, min_response: float = 1e-4,
+                     subpix: bool = False):
     """Grid-budgeted Shi-Tomasi detection (reference extractor.jl:63-95).
 
     img: (H, W) f32 in [0, 1].
@@ -80,6 +133,7 @@ def detect_keypoints(img, occupied_px, occupied_valid, *, cell_size: int,
     h, w = img.shape
     img = img.astype(jnp.float32)
     resp = shi_tomasi_response(img)
+    resp_raw = resp
 
     # Suppress around existing keypoints. (NOTE: a one-hot outer-product
     # matmul formulation of this scatter ran at the same ~39 ms warm but
@@ -123,6 +177,8 @@ def detect_keypoints(img, occupied_px, occupied_valid, *, cell_size: int,
     cell_ids = jnp.arange(gy * gx)
     cy = (cell_ids // gx)[:, None] * cell_size + idx // cell_size
     cx = (cell_ids % gx)[:, None] * cell_size + idx % cell_size
+    if subpix:
+        return (vals,) + subpixel_refine(resp_raw, cy, cx)
     return vals, cy.astype(jnp.int32), cx.astype(jnp.int32)
 
 

@@ -80,7 +80,7 @@ def state_rows(cap: int) -> int:
 
 
 def _shi_tomasi_cells(pyr_left, px, occ_rows, *, pad, height, width,
-                      radius, min_response, cell_size):
+                      radius, min_response, cell_size, subpix=False):
     """Shi-Tomasi response -> occupancy suppression -> 3x3 NMS -> per-cell
     top-k (extractor.jl:63-95). Reuses the carry pyramid's Scharr gradients
     (computed pre-padding, so the crop is bit-exact with gradients of the
@@ -95,6 +95,7 @@ def _shi_tomasi_cells(pyr_left, px, occ_rows, *, pad, height, width,
     half_tr = 0.5 * (sm[0] + sm[1])
     disc = jnp.sqrt(jnp.square(0.5 * (sm[0] - sm[1])) + jnp.square(sm[2]))
     resp = half_tr - disc
+    resp_raw = resp
 
     # Occupancy suppression BEFORE the 3x3 NMS — ordering is load-bearing:
     # zeroing the suppressed region first lets a weaker corner just outside
@@ -135,6 +136,10 @@ def _shi_tomasi_cells(pyr_left, px, occ_rows, *, pad, height, width,
     cell_ids = jnp.arange(gy * gx)
     det_y = ((cell_ids // gx)[:, None] * cell_size + idx // cell_size)
     det_x = ((cell_ids % gx)[:, None] * cell_size + idx % cell_size)
+    if subpix:
+        from .features import subpixel_refine
+
+        return (vals,) + subpixel_refine(resp_raw, det_y, det_x)
     return vals, det_y, det_x
 
 
@@ -144,7 +149,7 @@ def _shi_tomasi_cells(pyr_left, px, occ_rows, *, pad, height, width,
         "levels", "window", "iters", "eps", "eig_thresh", "pad",
         "max_fb_distance", "sigma", "min_active",
         "cell_size", "radius", "min_response", "height", "width",
-        "stereo_1d",
+        "stereo_1d", "subpix",
     ),
 )
 def keyframe_step(
@@ -157,6 +162,7 @@ def keyframe_step(
     sigma: float = 1.0, min_active: int = 0,
     cell_size: int = 35, radius: int = 17, min_response: float = 1e-4,
     height: int = 0, width: int = 0, stereo_1d: bool = False,
+    subpix: bool = False,
 ):
     cap = state.shape[0] - N_GROUPS - N_MISC_ROWS
     slots = state[:cap]
@@ -191,6 +197,7 @@ def keyframe_step(
     vals, det_y, det_x = _shi_tomasi_cells(
         pyr_left, px, occ_rows, pad=pad, height=height, width=width,
         radius=radius, min_response=min_response, cell_size=cell_size,
+        subpix=subpix,
     )
 
     # ---- 2. admission in host order (row-major cell, then rank) -----------
@@ -313,7 +320,7 @@ def state2_rows(cap: int) -> int:
         "levels", "window", "iters", "eps", "eig_thresh", "pad",
         "max_fb_distance", "sigma", "min_active",
         "cell_size", "radius", "min_response", "height", "width",
-        "threshold", "stereo_1d",
+        "threshold", "stereo_1d", "subpix",
     ),
 )
 def keyframe_step_carry(
@@ -326,7 +333,7 @@ def keyframe_step_carry(
     sigma: float = 1.0, min_active: int = 0,
     cell_size: int = 35, radius: int = 17, min_response: float = 1e-4,
     height: int = 0, width: int = 0, threshold: float = 3.0,
-    stereo_1d: bool = False,
+    stereo_1d: bool = False, subpix: bool = False,
 ):
     from .se3 import se3_inv
     from .track_step import (
@@ -398,6 +405,7 @@ def keyframe_step_carry(
     vals, det_y, det_x = _shi_tomasi_cells(
         pyr_left, px, valid, pad=pad, height=height, width=width,
         radius=radius, min_response=min_response, cell_size=cell_size,
+        subpix=subpix,
     )
     col = jnp.broadcast_to(jnp.arange(KF_TOPK)[None, :], vals.shape)
     admitted = (vals > min_response) & (col < n_cell_detect)

@@ -44,6 +44,15 @@ class Params:
     # stragglers). 0 = exact reference semantics (every point runs its full
     # iteration budget).
     lk_min_active: int = 16
+    # Subpixel corner refinement: parabola-vertex fit on the raw
+    # Shi-Tomasi response around each detected corner (TPU knob, beyond the
+    # reference's integer ImageFeatures corners — extractor.jl:63-95).
+    # Measured ATE-neutral-to-worse on the synthetic scenes (multi-seed
+    # A/B): detection quantization is a ONE-TIME offset that LK then
+    # tracks consistently — not per-frame noise — so refinement buys no
+    # triangulation accuracy and can nudge corners onto less LK-stable
+    # response ridges. Kept as an opt-in for real-imagery experiments.
+    subpixel_detect: bool = False
     # Disparity-only (1D) LK for the rectified-stereo keyframe matcher: the
     # tracked row is discarded by the row correction (map_manager.jl:586-588)
     # either way; pinning flow_y = 0 halves the solver-loop work (TPU knob,

@@ -127,3 +127,39 @@ def test_stereo_pipeline_city_layout():
     err = ate_rmse(est.astype(np.float64), gt, align_scale=False)
     total = np.linalg.norm(gt[-1] - gt[0])
     assert err < 0.15 * total
+
+
+@pytest.mark.slow
+def test_stereo_pipeline_subpixel_detect():
+    """End-to-end with subpixel corner refinement on: the pipeline runs and
+    metric ATE stays at least as good as the quantized-detection bound."""
+    scene = make_scene(
+        n_frames=10, height=160, width=224, n_points=900, stereo=True,
+        baseline=0.5, seed=9,
+    )
+    params = Params(
+        stereo=True,
+        max_nb_keypoints=400,
+        max_distance=24,
+        keypoint_capacity=512,
+        initial_parallax=8.0,
+        do_local_bundle_adjustment=True,
+        sequential=True,
+        subpixel_detect=True,
+    )
+    saver = ReplaySaver()
+    sm = SlamManager(
+        params, scene.camera, right_camera=scene.right_camera, slam_io=saver
+    )
+    for i in range(len(scene)):
+        left, right = scene.frame(i)
+        sm.add_stereo_image(left, right, float(scene.timestamps[i]))
+    sm.wait()
+
+    assert not params.reset_required
+    assert sm.map_manager.nb_keyframes >= 2
+    est = saver.trajectory_xyz()
+    gt = np.stack([p[:3, 3] for p in scene.poses_wc])
+    err = ate_rmse(est.astype(np.float64), gt, align_scale=False)
+    total = np.linalg.norm(gt[-1] - gt[0])
+    assert err < 0.15 * total
