@@ -135,3 +135,37 @@ def test_mono_reset_after_init_rebootstraps():
     sm.wait()
     assert not params.reset_required
     assert sm.current_frame.nb_keypoints > 50
+
+
+@pytest.mark.slow
+def test_mono_forward_motion_initializes_late():
+    """Forward (dominant-z) motion: the hard init regime for mono — image
+    parallax concentrates at the periphery, so the parallax-gated
+    bootstrap (front_end.jl:80-117) fires much later than under strafe.
+    Checks that init eventually happens, scale-aligned ATE stays bounded,
+    and forward progress is monotone after init."""
+    scene = make_scene(
+        n_frames=24, height=160, width=224, n_points=1200, seed=6,
+        motion="forward",
+    )
+    params = Params(
+        stereo=False, max_nb_keypoints=400, max_distance=24,
+        keypoint_capacity=512, initial_parallax=6.0,
+        do_local_bundle_adjustment=True, sequential=True,
+    )
+    saver = ReplaySaver()
+    sm = SlamManager(params, scene.camera, slam_io=saver)
+    for i in range(len(scene)):
+        left, _ = scene.frame(i)
+        sm.add_image(left, float(scene.timestamps[i]))
+    sm.wait()
+
+    assert params.vision_initialized
+    assert not params.reset_required
+    assert sm.map_manager.nb_keyframes >= 2
+    est = saver.trajectory_xyz()
+    gt = np.stack([p[:3, 3] for p in scene.poses_wc])
+    err = ate_rmse(est.astype(np.float64), gt, align_scale=True)
+    total = np.linalg.norm(gt[-1] - gt[0])
+    assert err < 0.20 * total
+    assert (np.diff(est[-4:, 2]) > 0).all()
