@@ -229,6 +229,92 @@ def make_frontend_inputs(batch: int, n_points: int, height: int, width: int,
             dist, keys)
 
 
+def ba_mesh_step(mesh: Mesh, *, iters1: int = 5, iters2: int = 10):
+    """The PRODUCTION local bundle adjustment (ops/ba.py — Schur-complement
+    LM, two-phase outliers) with its OBSERVATION axis sharded across every
+    chip of the mesh (both named axes flattened): the per-observation
+    residual/Jacobian blocks and the J^T J / J^T r accumulations are
+    shard-local, and the reductions onto the (replicated) pose/point
+    parameter blocks become XLA all-reduces over ICI inserted from the
+    sharding annotations alone. Reference worker: estimator.jl:328-331 +
+    bundle_adjustment.jl:1-55 (single-threaded LSMR there; data-parallel
+    normal equations here)."""
+    from ..ops.ba import local_bundle_adjustment
+
+    obs_s = NamedSharding(mesh, P(("data", "model")))
+    repl = NamedSharding(mesh, P())
+
+    fn = functools.partial(
+        local_bundle_adjustment, iters1=iters1, iters2=iters2
+    )
+    return jax.jit(
+        fn,
+        in_shardings=(repl, repl, repl, obs_s, obs_s, obs_s, obs_s, repl),
+        out_shardings={
+            "poses": repl, "points": repl, "outliers": obs_s,
+            "final_cost": repl,
+        },
+    )
+
+
+def make_ba_inputs(n_poses: int, n_points: int, n_obs: int, seed: int = 0):
+    """Synthetic consistent BA problem: noisy poses/points observing exact
+    pixels (every array padded to the given sizes)."""
+    rng = np.random.default_rng(seed)
+    intr = np.array([120.0, 118.0, 48.0, 36.0], np.float32)
+    poses = rng.normal(0, 0.02, (n_poses, 6)).astype(np.float32)
+    # Wide lateral baseline relative to the point depths: keeps every
+    # point's depth well-conditioned (a short-baseline problem leaves
+    # depth nearly free along the ray and LM legitimately wanders there).
+    poses[:, 3] = np.arange(n_poses) * 0.8
+    # Two constant poses: one pins the frame, the second pins the scale
+    # gauge (projection-only observations leave global scale free
+    # otherwise — estimator.jl:169-226 fixes the two oldest poses too).
+    const = np.zeros(n_poses, bool)
+    const[0] = const[1] = True
+    pts = np.stack(
+        [rng.uniform(-2, 6, n_points), rng.uniform(-2, 2, n_points),
+         rng.uniform(5, 12, n_points)], axis=-1
+    ).astype(np.float32)
+    obs_pose = rng.integers(0, n_poses, n_obs).astype(np.int32)
+    obs_point = rng.integers(0, n_points, n_obs).astype(np.int32)
+    from ..hostmath import rot_zyx as host_rot
+
+    px = np.zeros((n_obs, 2), np.float32)
+    for i in range(n_obs):
+        th = poses[obs_pose[i]]
+        R = host_rot(th[:3].astype(np.float64))
+        pc = R @ pts[obs_point[i]].astype(np.float64) + th[3:]
+        px[i] = [intr[1] * pc[1] / pc[2] + intr[3],
+                 intr[0] * pc[0] / pc[2] + intr[2]]
+    px += rng.normal(0, 0.1, px.shape)
+    valid = np.ones(n_obs, bool)
+    # Perturb the free poses/points so LM has work to do.
+    poses_n = poses + rng.normal(0, 0.05, poses.shape).astype(np.float32)
+    poses_n[const] = poses[const]
+    pts_n = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    args = (poses_n.astype(np.float32), const, pts_n.astype(np.float32),
+            obs_pose, obs_point, px.astype(np.float32), valid, intr)
+    return args, poses.astype(np.float32), pts
+
+
+def dryrun_ba(n_devices: int, n_poses: int = 6, n_points: int = 64,
+              n_obs: int = 256):
+    """Compile + run the sharded PRODUCTION local BA on tiny shapes."""
+    mesh = make_mesh(n_devices)
+    total = mesh.shape["data"] * mesh.shape["model"]
+    n_obs = -(-n_obs // total) * total
+    args, _, _ = make_ba_inputs(n_poses, n_points, n_obs)
+    step = ba_mesh_step(mesh)
+    out = step(*[jnp.asarray(a) for a in args])
+    jax.block_until_ready(out)
+    return {
+        "mesh": dict(mesh.shape),
+        "final_cost": float(np.asarray(out["final_cost"])),
+        "outliers": int(np.asarray(out["outliers"]).sum()),
+    }
+
+
 def dryrun_frontend(n_devices: int, batch: int | None = None,
                     height: int = 48, width: int = 64, n_points: int = 64):
     """Compile + run the sharded PRODUCTION frontend step on tiny shapes."""
@@ -300,9 +386,12 @@ def dryrun(n_devices: int, batch: int | None = None, height: int = 48,
     # The production fused frontend program, sharded the same way.
     frontend_info = dryrun_frontend(n_devices, batch=batch,
                                     height=height, width=width)
+    # The production Schur-complement local BA, observation-axis sharded.
+    ba_info = dryrun_ba(n_devices)
     return {
         "mesh": dict(mesh.shape),
         "tracked": int(np.asarray(ok).sum()),
         "cost": [float(c) for c in np.asarray(cost)],
         "frontend": frontend_info,
+        "ba": ba_info,
     }

@@ -68,3 +68,45 @@ def test_graft_entry_single():
     assert np.median(moved) < 0.5
     assert np.isfinite(np.asarray(scalars)).all()
     assert np.isfinite(np.asarray(misc_next)).all()
+
+
+def test_ba_mesh_step_matches_unsharded():
+    """The PRODUCTION Schur-complement local BA with the observation axis
+    sharded across all 8 virtual devices solves the problem exactly as well
+    as the single-device run. Parameters are NOT compared bitwise: f32
+    reduction reorder flips near-equal LM damping decisions, so the two
+    runs take different (equally valid) LM paths — the test pins identical
+    outlier sets and equal recovery of the known ground truth."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from slamtpu.parallel.multi import ba_mesh_step, make_ba_inputs, make_mesh
+
+    args, gt_poses, gt_points = make_ba_inputs(
+        n_poses=6, n_points=64, n_obs=512, seed=2
+    )
+
+    mesh = make_mesh(8)
+    out_s = jax.device_get(ba_mesh_step(mesh)(*[jnp.asarray(a) for a in args]))
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                 ("data", "model"))
+    out_1 = jax.device_get(ba_mesh_step(mesh1)(*[jnp.asarray(a) for a in args]))
+
+    np.testing.assert_array_equal(out_s["outliers"], out_1["outliers"])
+    np.testing.assert_allclose(
+        out_s["final_cost"], out_1["final_cost"], rtol=0.05
+    )
+    err_s = np.abs(out_s["poses"] - gt_poses).max()
+    err_1 = np.abs(out_1["poses"] - gt_poses).max()
+    err_in = np.abs(args[0] - gt_poses).max()
+    # Both runs improve the perturbed poses and land equally close to GT.
+    assert err_s < 0.6 * err_in and err_1 < 0.6 * err_in
+    assert err_s < 1.6 * err_1 + 1e-4
+
+
+def test_dryrun_ba():
+    from slamtpu.parallel.multi import dryrun_ba
+
+    info = dryrun_ba(8)
+    assert info["mesh"] == {"data": 4, "model": 2}
