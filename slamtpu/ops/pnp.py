@@ -386,6 +386,17 @@ def pnp_refine(theta0, points, pixels_yx, valid, intrinsics, *,
     Returns dict: theta (6,), initial_error, final_error, outliers (N,),
     n_outliers.
     """
+    from .pnp_pallas import pnp_refine_pallas, use_pallas_pnp
+
+    if use_pallas_pnp():
+        # Whole two-phase LM in ONE Pallas launch (SLAMTPU_PALLAS_PNP=1):
+        # the fori_loop body here is ~25 serialized XLA ops per iteration.
+        return pnp_refine_pallas(
+            theta0, points, pixels_yx, valid, intrinsics,
+            iters1=iters1, iters2=iters2, repr_eps=repr_eps,
+            depth_eps=depth_eps,
+        )
+
     w = valid.astype(jnp.float32)
     r0, _ = _pnp_residuals(theta0, points, pixels_yx, intrinsics)
     initial_error = jnp.sum((r0 * w[:, None]) ** 2)

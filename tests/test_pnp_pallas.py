@@ -1,0 +1,68 @@
+"""Parity tests for the fused Pallas PnP refinement (ops/pnp_pallas.py)
+against the XLA two-phase LM (ops/pnp.py::pnp_refine)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamtpu.hostmath import rot_zyx as host_rot
+from slamtpu.ops.pnp import pnp_refine
+from slamtpu.ops.pnp_pallas import pnp_refine_pallas
+
+
+def _problem(seed, n=256, noise=0.3, outlier_frac=0.05):
+    rng = np.random.default_rng(seed)
+    intr = np.array([450.0, 440.0, 320.0, 240.0], np.float32)
+    th_true = np.concatenate(
+        [rng.normal(0, 0.2, 3), rng.normal(0, 0.4, 3)]
+    ).astype(np.float32)
+    pts = np.stack(
+        [rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+         rng.uniform(6, 25, n)], axis=-1
+    ).astype(np.float32)
+    R = host_rot(th_true[:3].astype(np.float64))
+    pc = pts @ R.T + th_true[3:]
+    px = np.stack(
+        [intr[1] * pc[:, 1] / pc[:, 2] + intr[3],
+         intr[0] * pc[:, 0] / pc[:, 2] + intr[2]], axis=-1
+    ).astype(np.float32)
+    px += rng.normal(0, noise, px.shape).astype(np.float32)
+    n_out = int(outlier_frac * n)
+    px[:n_out] += rng.uniform(20, 80, (n_out, 2)).astype(np.float32)
+    valid = rng.uniform(size=n) > 0.1
+    th0 = th_true + np.concatenate(
+        [rng.normal(0, 0.01, 3), rng.normal(0, 0.05, 3)]
+    ).astype(np.float32)
+    return th0, pts, px, valid, intr, th_true
+
+
+@pytest.mark.parametrize("seed", [3, 5, 9])
+def test_pnp_pallas_matches_xla(seed):
+    th0, pts, px, valid, intr, th_true = _problem(seed)
+    args = (jnp.asarray(th0), jnp.asarray(pts), jnp.asarray(px),
+            jnp.asarray(valid), jnp.asarray(intr))
+    want = jax.device_get(pnp_refine(*args))
+    got = jax.device_get(jax.jit(
+        lambda *a: pnp_refine_pallas(*a, interpret=True)
+    )(*args))
+
+    # The LM paths are not bitwise identical (dot/reduction order) but must
+    # find the same optimum and the same outlier set.
+    np.testing.assert_array_equal(got["outliers"], want["outliers"])
+    assert abs(float(got["final_error"]) - float(want["final_error"])) \
+        < 0.02 * (1.0 + float(want["final_error"]))
+    np.testing.assert_allclose(got["theta"], want["theta"], atol=2e-4)
+    # And both recover the true pose (bound set by the 0.3 px noise and
+    # the sub-gate residual outliers, not the solver).
+    assert np.abs(got["theta"][:3] - th_true[:3]).max() < 2e-2
+    assert np.abs(got["theta"][3:] - th_true[3:]).max() < 1e-1
+
+
+def test_pnp_pallas_improves_initial_error():
+    th0, pts, px, valid, intr, _ = _problem(11, noise=0.1)
+    got = jax.device_get(pnp_refine_pallas(
+        jnp.asarray(th0), jnp.asarray(pts), jnp.asarray(px),
+        jnp.asarray(valid), jnp.asarray(intr), interpret=True,
+    ))
+    assert float(got["final_error"]) < float(got["initial_error"])
+    assert int(got["n_outliers"]) == int(np.sum(got["outliers"]))

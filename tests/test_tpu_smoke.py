@@ -420,3 +420,25 @@ def test_pallas_pyramid_on_device(tpu_backend):
         scale = max(1.0, float(np.abs(ws).max()))
         tol = 5e-5 if lvl == 0 else 1e-3
         assert np.abs(gs - ws).max() < tol * scale, lvl
+
+
+def test_pallas_pnp_on_device(tpu_backend):
+    """Fused Pallas PnP LM (SLAMTPU_PALLAS_PNP) vs the XLA two-phase loop on
+    the real backend: compiled Mosaic path (scalar Cholesky, MXU normal
+    equations), not the interpreter the CPU parity tests use."""
+    import jax
+    import jax.numpy as jnp
+
+    from slamtpu.ops.pnp import pnp_refine
+    from slamtpu.ops.pnp_pallas import pnp_refine_pallas
+    from test_pnp_pallas import _problem
+
+    th0, pts, px, valid, intr, _ = _problem(5)
+    args = (jnp.asarray(th0), jnp.asarray(pts), jnp.asarray(px),
+            jnp.asarray(valid), jnp.asarray(intr))
+    want = jax.device_get(pnp_refine(*args))
+    got = jax.device_get(jax.jit(
+        lambda *a: pnp_refine_pallas(*a, interpret=False)
+    )(*args))
+    np.testing.assert_array_equal(got["outliers"], want["outliers"])
+    np.testing.assert_allclose(got["theta"], want["theta"], atol=5e-4)
