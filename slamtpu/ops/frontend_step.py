@@ -61,6 +61,13 @@ def _masked_median(values, mask, iters: int = 24):
     bracketing interval give the median to (range / 2^iters) — far below a
     pixel of parallax — with `iters` cheap counting passes.
     """
+    from .scalar_pallas import masked_median_pallas, use_scalar_pallas
+
+    if use_scalar_pallas():
+        # One Pallas launch instead of `iters` serialized XLA reductions
+        # (SLAMTPU_PALLAS_SCALAR=1).
+        return masked_median_pallas(values, mask, iters=iters)
+
     n = jnp.sum(mask)
     big = jnp.float32(jnp.finfo(jnp.float32).max)
     lo = jnp.min(jnp.where(mask, values, big))

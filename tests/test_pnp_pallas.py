@@ -66,3 +66,16 @@ def test_pnp_pallas_improves_initial_error():
     ))
     assert float(got["final_error"]) < float(got["initial_error"])
     assert int(got["n_outliers"]) == int(np.sum(got["outliers"]))
+
+
+def test_masked_median_pallas_matches_xla():
+    from slamtpu.ops.frontend_step import _masked_median
+    from slamtpu.ops.scalar_pallas import masked_median_pallas
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        v = jnp.asarray(rng.normal(0, 30, 512).astype(np.float32))
+        m = jnp.asarray(rng.uniform(size=512) > [0.3, 0.05, 0.97, 1.1][trial])
+        want = float(_masked_median(v, m))
+        got = float(masked_median_pallas(v, m, interpret=True))
+        assert abs(got - want) < 1e-4 * (1.0 + abs(want)), trial

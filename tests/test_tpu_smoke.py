@@ -442,3 +442,19 @@ def test_pallas_pnp_on_device(tpu_backend):
     )(*args))
     np.testing.assert_array_equal(got["outliers"], want["outliers"])
     np.testing.assert_allclose(got["theta"], want["theta"], atol=5e-4)
+
+
+def test_pallas_median_on_device(tpu_backend):
+    """masked_median_pallas (SLAMTPU_PALLAS_SCALAR) vs the XLA bisection
+    on the real backend."""
+    import jax.numpy as jnp
+
+    from slamtpu.ops.frontend_step import _masked_median
+    from slamtpu.ops.scalar_pallas import masked_median_pallas
+
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.normal(0, 20, 1024).astype(np.float32))
+    m = jnp.asarray(rng.uniform(size=1024) > 0.4)
+    want = float(_masked_median(v, m))
+    got = float(masked_median_pallas(v, m, interpret=False))
+    assert abs(got - want) < 1e-4 * (1.0 + abs(want))
