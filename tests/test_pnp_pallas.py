@@ -79,3 +79,39 @@ def test_masked_median_pallas_matches_xla():
         want = float(_masked_median(v, m))
         got = float(masked_median_pallas(v, m, interpret=True))
         assert abs(got - want) < 1e-4 * (1.0 + abs(want)), trial
+
+
+def test_dlt_pallas_matches_xla():
+    """Pallas DLT triangulation vs mvg.triangulate_points: same inverse-
+    iteration arithmetic (factor-once vs refactor-per-step reassociation
+    only), both shared and per-point P2."""
+    from slamtpu.hostmath import rot_zyx as host_rot
+    from slamtpu.ops.dlt_pallas import triangulate_points_pallas
+    from slamtpu.ops.mvg import triangulate_points
+
+    rng = np.random.default_rng(5)
+    n = 300
+    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-2, 2, n),
+                    rng.uniform(5, 25, n)], axis=-1)
+    P1 = np.eye(4, dtype=np.float32)
+    R = host_rot(np.array([0.05, -0.03, 0.02]))
+    P2m = np.eye(4); P2m[:3, :3] = R; P2m[:3, 3] = [0.5, 0.05, 0.02]
+    def proj(P, X):
+        pc = X @ P[:3, :3].T + P[:3, 3]
+        return (pc[:, :2] / pc[:, 2:3]).astype(np.float32)
+    px1 = proj(P1, pts) + rng.normal(0, 1e-3, (n, 2))
+    px2 = proj(P2m, pts) + rng.normal(0, 1e-3, (n, 2))
+    a1, a2 = jnp.asarray(px1, jnp.float32), jnp.asarray(px2, jnp.float32)
+
+    for P2 in (jnp.asarray(P2m, jnp.float32),
+               jnp.broadcast_to(jnp.asarray(P2m, jnp.float32), (n, 4, 4))):
+        want = np.asarray(triangulate_points(a1, a2, jnp.asarray(P1), P2))
+        got = np.asarray(triangulate_points_pallas(
+            a1, a2, jnp.asarray(P1), P2, interpret=True
+        ))
+        # Null vectors are sign-ambiguous; compare the dehomogenized points.
+        w_w = np.where(np.abs(want[:, 3:]) < 1e-12, 1e-12, want[:, 3:])
+        g_w = np.where(np.abs(got[:, 3:]) < 1e-12, 1e-12, got[:, 3:])
+        np.testing.assert_allclose(
+            got[:, :3] / g_w, want[:, :3] / w_w, rtol=0, atol=2e-3
+        )

@@ -458,3 +458,36 @@ def test_pallas_median_on_device(tpu_backend):
     want = float(_masked_median(v, m))
     got = float(masked_median_pallas(v, m, interpret=False))
     assert abs(got - want) < 1e-4 * (1.0 + abs(want))
+
+
+def test_pallas_dlt_on_device(tpu_backend):
+    """triangulate_points_pallas (SLAMTPU_PALLAS_DLT) vs the XLA DLT on the
+    real backend (compiled Mosaic path, not the interpreter)."""
+    import jax.numpy as jnp
+
+    from slamtpu.ops.dlt_pallas import triangulate_points_pallas
+    from slamtpu.ops.mvg import triangulate_points
+
+    rng = np.random.default_rng(5)
+    n = 256
+    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-2, 2, n),
+                    rng.uniform(5, 25, n)], axis=-1)
+    P1 = np.eye(4, dtype=np.float32)
+    P2m = np.eye(4, dtype=np.float32)
+    P2m[:3, 3] = [0.5, 0.05, 0.02]
+    def proj(P, X):
+        pc = X @ P[:3, :3].T + P[:3, 3]
+        return (pc[:, :2] / pc[:, 2:3]).astype(np.float32)
+    a1 = jnp.asarray(proj(P1, pts))
+    a2 = jnp.asarray(proj(P2m, pts))
+    want = np.asarray(
+        triangulate_points(a1, a2, jnp.asarray(P1), jnp.asarray(P2m))
+    )
+    got = np.asarray(triangulate_points_pallas(
+        a1, a2, jnp.asarray(P1), jnp.asarray(P2m), interpret=False
+    ))
+    w_w = np.where(np.abs(want[:, 3:]) < 1e-12, 1e-12, want[:, 3:])
+    g_w = np.where(np.abs(got[:, 3:]) < 1e-12, 1e-12, got[:, 3:])
+    np.testing.assert_allclose(
+        got[:, :3] / g_w, want[:, :3] / w_w, rtol=0, atol=2e-3
+    )
