@@ -79,8 +79,32 @@ def _cost(poses, points, obs_pose, obs_point, obs_px, weights, intrinsics):
     return jnp.sum(r * r)
 
 
+def _bucket_observations(obs_point, obs_valid, X: int, K: int):
+    """(X, K) table of observation indices per point + slot validity.
+
+    Each point is observed at most once per pose, so K = P is a hard bound.
+    Built once per BA call with one device sort; replaces the per-iteration
+    (X, O) @ (O, P*18) one-hot reduction for B — ~77 GFLOP and a 38 MB
+    (O, P, 6, 3) intermediate per LM iteration at the production bucket
+    (P=32, X=4096, O=16384) — with (X, K) gathers + a 300 MFLOP einsum.
+    """
+    O = obs_point.shape[0]
+    # Padding rows sort to the end (point id X) and never enter a bucket.
+    eff = jnp.where(obs_valid, obs_point, X).astype(jnp.int32)
+    order = jnp.argsort(eff, stable=True)
+    eff_sorted = eff[order]
+    pts = jnp.arange(X, dtype=jnp.int32)
+    starts = jnp.searchsorted(eff_sorted, pts, side="left")
+    ends = jnp.searchsorted(eff_sorted, pts, side="right")
+    counts = ends - starts
+    k_idx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    slot_valid = jnp.arange(K)[None, :] < counts[:, None]
+    table = order[jnp.clip(k_idx, 0, O - 1)]
+    return table, slot_valid
+
+
 def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
-               weights, intrinsics, iters):
+               weights, intrinsics, iters, bucket):
     """Damped Schur-complement LM; returns updated (poses, points)."""
     P = poses.shape[0]
     X = points.shape[0]
@@ -88,10 +112,14 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
 
     free_p = pose_free_mask.astype(jnp.float32)          # (P,)
     free_flat = jnp.repeat(free_p, 6)                    # (6P,)
-    # One-hot reduction matrices: every scatter/segment_sum becomes an MXU
-    # matmul (scatters are latency-bound on the tunnel-attached device).
+    # Pose reductions stay one-hot MXU matmuls ((O, P) is small); point
+    # reductions go through the per-point observation buckets.
     pose_onehot = jax.nn.one_hot(obs_pose, P, dtype=jnp.float32)   # (O, P)
-    point_onehot = jax.nn.one_hot(obs_point, X, dtype=jnp.float32)  # (O, X)
+    table, slot_valid = bucket                           # (X, K) each
+    slot_w = slot_valid.astype(jnp.float32)
+    slot_pose = jax.nn.one_hot(
+        obs_pose[table], P, dtype=jnp.float32
+    ) * slot_w[..., None]                                # (X, K, P)
 
     def body(_, carry):
         poses, points, lam, cost = carry
@@ -103,17 +131,22 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
 
         JpJp = jnp.einsum("oia,oib->oab", Jp, Jp).reshape(-1, 36)
         U = (pose_onehot.T @ JpJp).reshape(P, 6, 6)
-        JxJx = jnp.einsum("oia,oib->oab", Jx, Jx).reshape(-1, 9)
-        V = (point_onehot.T @ JxJx).reshape(X, 3, 3)
+        JxJx = jnp.einsum("oia,oib->oab", Jx, Jx)        # (O, 3, 3)
+        V = jnp.sum(JxJx[table] * slot_w[..., None, None], axis=1)
         A = jnp.einsum("oia,oib->oab", Jp, Jx)  # (O, 6, 3)
-        # Embed each A into its pose block row, then reduce per point.
-        A_embed = jnp.einsum("op,oab->opab", pose_onehot, A)  # (O, P, 6, 3)
-        B = (point_onehot.T @ A_embed.reshape(-1, P * 18)).reshape(X, n6, 3)
+        # Per-point pose-block embedding from the buckets; HIGHEST keeps
+        # the 0/1 placement from rounding A through bf16 (PERF.md
+        # precision notes on BA one-hots).
+        B = jnp.einsum(
+            "xkp,xkab->xpab", slot_pose, A[table],
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(X, n6, 3)
 
         g_p = (
             pose_onehot.T @ jnp.einsum("oia,oi->oa", Jp, r)
         ).reshape(n6)
-        g_x = point_onehot.T @ jnp.einsum("oia,oi->oa", Jx, r)  # (X, 3)
+        Jxr = jnp.einsum("oia,oi->oa", Jx, r)            # (O, 3)
+        g_x = jnp.sum(Jxr[table] * slot_w[..., None], axis=1)  # (X, 3)
 
         # Damping.
         eyeP = jnp.eye(6, dtype=jnp.float32)
@@ -204,9 +237,15 @@ def local_bundle_adjustment(poses0, pose_const, points0, obs_pose, obs_point,
     obs_valid = obs_valid & ~gross
     w1 = obs_valid.astype(jnp.float32)
 
+    # One bucket table for both phases: gross/outlier rows stay in their
+    # buckets with zero weight (exact-zero contributions).
+    bucket = _bucket_observations(
+        obs_point, obs_valid, points0.shape[0], poses0.shape[0]
+    )
+
     poses1, points1, _ = _lm_rounds(
         poses0, points0, free, obs_pose, obs_point, obs_px, w1, intrinsics,
-        iters1,
+        iters1, bucket,
     )
 
     # Outlier detection at the phase-1 minimizer.
@@ -219,7 +258,7 @@ def local_bundle_adjustment(poses0, pose_const, points0, obs_pose, obs_point,
     w2 = w1 * (~outliers).astype(jnp.float32)
     poses2, points2, cost = _lm_rounds(
         poses1, points1, free, obs_pose, obs_point, obs_px, w2, intrinsics,
-        iters2,
+        iters2, bucket,
     )
     return {
         "poses": poses2,
