@@ -31,6 +31,17 @@ def smallest_eigvec_psd(M, iters: int = 8):
     treats a noisy eigenvector.
     """
     k = M.shape[-1]
+    if k <= 12 and M.ndim >= 3:
+        from .eig_pallas import smallest_eigvec_pallas, use_pallas_eig
+
+        if use_pallas_eig():
+            # One VMEM-resident launch instead of ~30*k serialized XLA ops
+            # (SLAMTPU_PALLAS_EIG=1).
+            lead = M.shape[:-2]
+            flat = M.reshape((-1, k, k))
+            return smallest_eigvec_pallas(flat, iters=iters).reshape(
+                lead + (k,)
+            )
     scale = jnp.maximum(
         jnp.einsum("...ii->...", M) / k, 1e-30
     )  # mean diagonal

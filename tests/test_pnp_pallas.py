@@ -115,3 +115,32 @@ def test_dlt_pallas_matches_xla():
         np.testing.assert_allclose(
             got[:, :3] / g_w, want[:, :3] / w_w, rtol=0, atol=2e-3
         )
+
+
+def test_eig_pallas_matches_xla():
+    """smallest_eigvec_pallas vs smallalg.smallest_eigvec_psd for the k=4
+    (DLT) and k=9 (8-point) systems: same inverse-iteration arithmetic up
+    to factor-once reassociation; vectors compared modulo sign."""
+    from slamtpu.ops.eig_pallas import smallest_eigvec_pallas
+    from slamtpu.ops.smallalg import smallest_eigvec_psd
+
+    rng = np.random.default_rng(7)
+    for k, n in ((4, 200), (9, 128), (10, 64)):
+        # PSD with a known, well-separated near-null eigenvector.
+        Q, _ = np.linalg.qr(rng.normal(size=(n, k, k)))
+        lam = np.concatenate(
+            [np.full((n, 1), 1e-6), rng.uniform(0.5, 3.0, (n, k - 1))],
+            axis=-1,
+        )
+        M = np.einsum("nik,nk,njk->nij", Q, lam, Q).astype(np.float32)
+        Mj = jnp.asarray(M)
+        want = np.asarray(smallest_eigvec_psd(Mj))
+        got = np.asarray(smallest_eigvec_pallas(Mj, interpret=True))
+        true = Q[..., 0].astype(np.float32)
+        for name, vec in (("xla", want), ("pallas", got)):
+            sign = np.sign(np.sum(vec * true, axis=-1, keepdims=True))
+            np.testing.assert_allclose(
+                vec * sign, true, rtol=0, atol=2e-3, err_msg=f"{name} k={k}"
+            )
+        sign = np.sign(np.sum(got * want, axis=-1, keepdims=True))
+        np.testing.assert_allclose(got * sign, want, rtol=0, atol=2e-3)

@@ -491,3 +491,25 @@ def test_pallas_dlt_on_device(tpu_backend):
     np.testing.assert_allclose(
         got[:, :3] / g_w, want[:, :3] / w_w, rtol=0, atol=2e-3
     )
+
+
+def test_pallas_eig_on_device(tpu_backend):
+    """smallest_eigvec_pallas (SLAMTPU_PALLAS_EIG) vs the XLA inverse
+    iteration on the real backend (k=9, the essential-RANSAC system)."""
+    import jax.numpy as jnp
+
+    from slamtpu.ops.eig_pallas import smallest_eigvec_pallas
+    from slamtpu.ops.smallalg import smallest_eigvec_psd
+
+    rng = np.random.default_rng(9)
+    k, n = 9, 128
+    Q, _ = np.linalg.qr(rng.normal(size=(n, k, k)))
+    lam = np.concatenate(
+        [np.full((n, 1), 1e-6), rng.uniform(0.5, 3.0, (n, k - 1))], axis=-1
+    )
+    M = np.einsum("nik,nk,njk->nij", Q, lam, Q).astype(np.float32)
+    Mj = jnp.asarray(M)
+    want = np.asarray(smallest_eigvec_psd(Mj))
+    got = np.asarray(smallest_eigvec_pallas(Mj, interpret=False))
+    sign = np.sign(np.sum(got * want, axis=-1, keepdims=True))
+    np.testing.assert_allclose(got * sign, want, rtol=0, atol=2e-3)
