@@ -58,3 +58,73 @@ def use_scalar_pallas() -> bool:
     if os.environ.get("SLAMTPU_PALLAS_SCALAR") != "1":
         return False
     return jax.default_backend() == "tpu"
+
+
+def _solve_kernel(a_ref, b_ref, out_ref, *, k):
+    """Single-system Cholesky solve (A + 1e-9 I unnecessary — caller damps)
+    with the same masked-column algorithm as smallalg.solve_psd, VMEM-
+    resident: k column steps of whole-matrix vector ops instead of k
+    serialized XLA ops."""
+    A = a_ref[...]
+    b = b_ref[...]  # (1, k)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    L = jnp.zeros_like(A)
+    for j in range(k):
+        # s = A[:, j] - L @ L[j, :]^T  (columns >= j of L still zero).
+        Lj = jax.lax.dynamic_slice(L, (j, 0), (1, k))      # row j
+        s = jax.lax.dynamic_slice(A, (0, j), (k, 1)) - jax.lax.dot_general(
+            L, Lj, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.sqrt(jnp.maximum(s[j, 0], 1e-12))
+        col = jnp.where(idx >= j, s / d, 0.0)              # (k, 1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) == j)
+        L = L + col * onehot.astype(jnp.float32)
+    # Forward substitution L y = b.
+    y = jnp.zeros((k, 1), jnp.float32)
+    for i in range(k):
+        Li = jax.lax.dynamic_slice(L, (i, 0), (1, k))
+        s = b[0, i] - jax.lax.dot_general(
+            Li, y, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )[0, 0]
+        yi = s / L[i, i]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == i)
+        y = y + yi * onehot.astype(jnp.float32)
+    # Back substitution L^T x = y.
+    x = jnp.zeros((k, 1), jnp.float32)
+    for i in reversed(range(k)):
+        Lc = jax.lax.dynamic_slice(L, (0, i), (k, 1))
+        s = y[i, 0] - jax.lax.dot_general(
+            Lc, x, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )[0, 0]
+        xi = s / L[i, i]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == i)
+        x = x + xi * onehot.astype(jnp.float32)
+    out_ref[...] = x.reshape(1, k)
+
+
+def solve_psd_pallas(A, b, *, interpret: bool | None = None):
+    """Single (k, k) PSD solve as one VMEM launch — the BA pose system's
+    unrolled Cholesky is ~4k serialized XLA ops per LM iteration
+    (smallalg.solve_psd at k = 6 * FREE_CAP)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = A.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_solve_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        interpret=interpret,
+    )(A.astype(jnp.float32), b.astype(jnp.float32).reshape(1, k))
+    return out[0]
+
+
+def use_pallas_solve() -> bool:
+    """Trace-time switch (SLAMTPU_PALLAS_SOLVE=1, TPU backend only)."""
+    if os.environ.get("SLAMTPU_PALLAS_SOLVE") != "1":
+        return False
+    return jax.default_backend() == "tpu"

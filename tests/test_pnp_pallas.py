@@ -144,3 +144,21 @@ def test_eig_pallas_matches_xla():
             )
         sign = np.sign(np.sum(got * want, axis=-1, keepdims=True))
         np.testing.assert_allclose(got * sign, want, rtol=0, atol=2e-3)
+
+
+def test_solve_psd_pallas_matches_xla():
+    from slamtpu.ops.scalar_pallas import solve_psd_pallas
+    from slamtpu.ops.smallalg import solve_psd
+
+    rng = np.random.default_rng(13)
+    for k in (12, 48):
+        Q = rng.normal(size=(k, k)).astype(np.float32)
+        A = Q @ Q.T + k * np.eye(k, dtype=np.float32)
+        b = rng.normal(size=k).astype(np.float32)
+        want = np.asarray(solve_psd(jnp.asarray(A), jnp.asarray(b)))
+        got = np.asarray(solve_psd_pallas(
+            jnp.asarray(A), jnp.asarray(b), interpret=True
+        ))
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-4 * (
+            1.0 + np.abs(want).max()
+        ))

@@ -513,3 +513,25 @@ def test_pallas_eig_on_device(tpu_backend):
     got = np.asarray(smallest_eigvec_pallas(Mj, interpret=False))
     sign = np.sign(np.sum(got * want, axis=-1, keepdims=True))
     np.testing.assert_allclose(got * sign, want, rtol=0, atol=2e-3)
+
+
+def test_pallas_solve_on_device(tpu_backend):
+    """solve_psd_pallas (SLAMTPU_PALLAS_SOLVE) vs the XLA unrolled Cholesky
+    on the real backend at the BA pose-system size."""
+    import jax.numpy as jnp
+
+    from slamtpu.ops.scalar_pallas import solve_psd_pallas
+    from slamtpu.ops.smallalg import solve_psd
+
+    rng = np.random.default_rng(14)
+    k = 48
+    Q = rng.normal(size=(k, k)).astype(np.float32)
+    A = Q @ Q.T + k * np.eye(k, dtype=np.float32)
+    b = rng.normal(size=k).astype(np.float32)
+    want = np.asarray(solve_psd(jnp.asarray(A), jnp.asarray(b)))
+    got = np.asarray(solve_psd_pallas(
+        jnp.asarray(A), jnp.asarray(b), interpret=False
+    ))
+    np.testing.assert_allclose(
+        got, want, rtol=0, atol=5e-4 * (1.0 + np.abs(want).max())
+    )
