@@ -70,7 +70,7 @@ def load_frames():
 
     from slamtpu.datasets.synthetic import make_scene
 
-    layout = os.environ.get("BENCH_LAYOUT", "slab")
+    layout = os.environ.get("BENCH_LAYOUT", "city")
     scene = make_scene(
         n_frames=N_FRAMES, height=376, width=1241, n_points=6000,
         stereo=True, baseline=0.54, seed=7, layout=layout,

@@ -35,6 +35,7 @@ def main():
     scene = make_scene(
         n_frames=n_frames, height=376, width=1241, n_points=6000,
         stereo=True, baseline=0.54, seed=7,
+        layout=os.environ.get("BENCH_LAYOUT", "city"),
     )
     frames = [scene.frame(i) for i in range(len(scene))]
     gt = np.stack([p[:3, 3] for p in scene.poses_wc])
