@@ -233,7 +233,14 @@ def p3p_ransac(points3d, pixels_xy, bearings, valid, n, intrinsics, key, *,
 
     M = hypotheses
     idx = sample_valid_indices(key, valid, (M, 3))
-    R, t, ok = _p3p_grunert(points3d[idx], bearings[idx])  # (M,4,...)
+    from .p3p_pallas import p3p_grunert_pallas, use_pallas_p3p
+
+    if use_pallas_p3p():
+        # The whole hypothesis algebra (quartic + triad) in ONE launch
+        # instead of ~160 serialized (M,)-wide ops (SLAMTPU_PALLAS_P3P=1).
+        R, t, ok = p3p_grunert_pallas(points3d[idx], bearings[idx])
+    else:
+        R, t, ok = _p3p_grunert(points3d[idx], bearings[idx])  # (M,4,...)
 
     Rf = R.reshape(-1, 3, 3)
     tf = t.reshape(-1, 3)

@@ -162,3 +162,50 @@ def test_solve_psd_pallas_matches_xla():
         np.testing.assert_allclose(got, want, rtol=0, atol=5e-4 * (
             1.0 + np.abs(want).max()
         ))
+
+
+def test_p3p_pallas_matches_xla():
+    """p3p_grunert_pallas vs _p3p_grunert on exact triads: identical
+    formulas lane-major; poses compared where both mark the root valid."""
+    from slamtpu.hostmath import rot_zyx as host_rot
+    from slamtpu.ops.p3p_pallas import p3p_grunert_pallas
+    from slamtpu.ops.pnp import _p3p_grunert
+
+    rng = np.random.default_rng(21)
+    m = 64
+    X = np.stack([
+        rng.uniform(-3, 3, (m, 3)),
+        rng.uniform(-2, 2, (m, 3)),
+        rng.uniform(6, 20, (m, 3)),
+    ], axis=-1).astype(np.float32)              # (m, 3pts, 3)
+    th = np.concatenate([rng.normal(0, 0.3, 3), [0.2, -0.1, 0.4]])
+    R_true = host_rot(th[:3])
+    t_true = th[3:]
+    Y = X @ R_true.T + t_true                   # camera-frame points
+    f = (Y / np.linalg.norm(Y, axis=-1, keepdims=True)).astype(np.float32)
+
+    Rx, tx, okx = map(np.asarray, _p3p_grunert(
+        jnp.asarray(X), jnp.asarray(f)
+    ))
+    Rp, tp, okp = map(np.asarray, p3p_grunert_pallas(
+        jnp.asarray(X), jnp.asarray(f), interpret=True
+    ))
+
+    # Both must contain the true pose among their valid candidates for
+    # (nearly) every triad.
+    def hit_rate(R, t, ok):
+        dR = np.abs(R - R_true[None, None]).max(axis=(-1, -2))
+        dt = np.abs(t - t_true[None, None]).max(axis=-1)
+        return np.mean(((dR < 5e-3) & (dt < 5e-2) & ok).any(axis=1))
+
+    assert hit_rate(Rx, tx, okx) > 0.9
+    assert hit_rate(Rp, tp, okp) > 0.9
+
+    # Candidate agreement where both flag valid: the vast majority match
+    # to f32 noise; a few ill-conditioned SPURIOUS roots polish to
+    # different (equally legitimate) fixed points because the kernel's
+    # cbrt is exp(log/3) — RANSAC scoring filters those either way.
+    both = okx & okp
+    dR = np.abs(Rp - Rx).max(axis=(-1, -2))
+    assert np.mean(dR[both] < 5e-3) > 0.9
+    assert np.mean(okx == okp) > 0.95

@@ -535,3 +535,31 @@ def test_pallas_solve_on_device(tpu_backend):
     np.testing.assert_allclose(
         got, want, rtol=0, atol=5e-4 * (1.0 + np.abs(want).max())
     )
+
+
+def test_pallas_p3p_on_device(tpu_backend):
+    """p3p_grunert_pallas (SLAMTPU_PALLAS_P3P) vs _p3p_grunert on the real
+    backend: the true pose must be among the valid candidates of both."""
+    import jax.numpy as jnp
+
+    from slamtpu.hostmath import rot_zyx as host_rot
+    from slamtpu.ops.p3p_pallas import p3p_grunert_pallas
+    from slamtpu.ops.pnp import _p3p_grunert
+
+    rng = np.random.default_rng(22)
+    m = 64
+    X = np.stack([
+        rng.uniform(-3, 3, (m, 3)),
+        rng.uniform(-2, 2, (m, 3)),
+        rng.uniform(6, 20, (m, 3)),
+    ], axis=-1).astype(np.float32)
+    th = np.concatenate([rng.normal(0, 0.3, 3), [0.2, -0.1, 0.4]])
+    R_true = host_rot(th[:3])
+    Y = X @ R_true.T + th[3:]
+    f = (Y / np.linalg.norm(Y, axis=-1, keepdims=True)).astype(np.float32)
+    Rp, tp, okp = map(np.asarray, p3p_grunert_pallas(
+        jnp.asarray(X), jnp.asarray(f), interpret=False
+    ))
+    dR = np.abs(Rp - R_true[None, None]).max(axis=(-1, -2))
+    dt = np.abs(tp - th[3:][None, None]).max(axis=-1)
+    assert np.mean(((dR < 5e-3) & (dt < 5e-2) & okp).any(axis=1)) > 0.9
