@@ -185,6 +185,15 @@ class Frame:
                 sel.append(i)
         if not kps:
             return
+        if len({kp.id for kp in kps}) != len(kps):
+            # Duplicate ids would see stale old-cell snapshots below; the
+            # per-point path re-reads kp.pixel each call. (The fused step's
+            # slot ids are unique, so this path is never hot.)
+            for i in sel:
+                self.update_keypoint_precomputed(
+                    kpids[i], pixels[i], undistorted[i], positions[i]
+                )
+            return
         pixels = np.asarray(pixels, dtype=np.float64)[sel]
         und = np.asarray(undistorted, dtype=np.float64)[sel]
         pos = np.asarray(positions, dtype=np.float64)[sel]
@@ -201,18 +210,8 @@ class Frame:
                 kp.is_stereo = False
                 self.nb_stereo_kpts -= 1
             if moved[j]:
-                old_cell = (int(oc[j, 0]), int(oc[j, 1]))
-                bucket = self.keypoints_grid.get(old_cell)
-                if bucket is not None and kp.id in bucket:
-                    bucket.discard(kp.id)
-                    if not bucket:
-                        self.nb_occupied_cells -= 1
-                        del self.keypoints_grid[old_cell]
-                new_cell = (int(nc[j, 0]), int(nc[j, 1]))
-                bucket = self.keypoints_grid.setdefault(new_cell, set())
-                if not bucket:
-                    self.nb_occupied_cells += 1
-                bucket.add(kp.id)
+                self._grid_remove_cell((int(oc[j, 0]), int(oc[j, 1])), kp.id)
+                self._grid_add_cell((int(nc[j, 0]), int(nc[j, 1])), kp.id)
 
     def update_stereo_keypoint_precomputed(self, kpid, right_pixel,
                                            right_und, right_position):
@@ -295,17 +294,21 @@ class Frame:
         )
 
     def _grid_add(self, kp: Keypoint):
-        cell = self._cell_of(kp.pixel)
+        self._grid_add_cell(self._cell_of(kp.pixel), kp.id)
+
+    def _grid_add_cell(self, cell, kpid):
         bucket = self.keypoints_grid.setdefault(cell, set())
         if not bucket:
             self.nb_occupied_cells += 1
-        bucket.add(kp.id)
+        bucket.add(kpid)
 
     def _grid_remove(self, kp: Keypoint):
-        cell = self._cell_of(kp.pixel)
+        self._grid_remove_cell(self._cell_of(kp.pixel), kp.id)
+
+    def _grid_remove_cell(self, cell, kpid):
         bucket = self.keypoints_grid.get(cell)
-        if bucket is not None and kp.id in bucket:
-            bucket.discard(kp.id)
+        if bucket is not None and kpid in bucket:
+            bucket.discard(kpid)
             if not bucket:
                 self.nb_occupied_cells -= 1
                 del self.keypoints_grid[cell]

@@ -244,8 +244,10 @@ def local_bundle_adjustment(poses0, pose_const, points0, obs_pose, obs_point,
     obs_valid = obs_valid & ~gross
     w1 = obs_valid.astype(jnp.float32)
 
-    # One bucket table for both phases: gross/outlier rows stay in their
-    # buckets with zero weight (exact-zero contributions).
+    # One bucket table for both phases: gross rows are excluded from the
+    # buckets outright (obs_valid already has ~gross applied); phase-2
+    # outlier rows stay in their buckets with zero weight — both forms
+    # contribute exact zeros.
     bucket = _bucket_observations(
         obs_point, obs_valid, points0.shape[0], poses0.shape[0]
     )

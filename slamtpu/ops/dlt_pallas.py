@@ -139,7 +139,12 @@ def triangulate_points_pallas(px1, px2, P1, P2, *,
 
 
 def use_pallas_dlt() -> bool:
-    """Trace-time switch (SLAMTPU_PALLAS_DLT=1, TPU backend only)."""
+    """Trace-time switch (SLAMTPU_PALLAS_DLT=1; TPU, or interpreter under SLAMTPU_PALLAS_INTERPRET=1)."""
     if os.environ.get("SLAMTPU_PALLAS_DLT") != "1":
         return False
+    # TPU only — except under the explicit SLAMTPU_PALLAS_INTERPRET test
+    # override, which runs the kernels in interpreter mode so CPU e2e
+    # tests can exercise the full gated configuration.
+    if os.environ.get("SLAMTPU_PALLAS_INTERPRET") == "1":
+        return True
     return jax.default_backend() == "tpu"

@@ -103,7 +103,12 @@ def smallest_eigvec_pallas(M, iters: int = 8, *,
 
 
 def use_pallas_eig() -> bool:
-    """Trace-time switch (SLAMTPU_PALLAS_EIG=1, TPU backend only)."""
+    """Trace-time switch (SLAMTPU_PALLAS_EIG=1; TPU, or interpreter under SLAMTPU_PALLAS_INTERPRET=1)."""
     if os.environ.get("SLAMTPU_PALLAS_EIG") != "1":
         return False
+    # TPU only — except under the explicit SLAMTPU_PALLAS_INTERPRET test
+    # override, which runs the kernels in interpreter mode so CPU e2e
+    # tests can exercise the full gated configuration.
+    if os.environ.get("SLAMTPU_PALLAS_INTERPRET") == "1":
+        return True
     return jax.default_backend() == "tpu"

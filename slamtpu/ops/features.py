@@ -78,7 +78,13 @@ def subpixel_refine(resp_raw, ys, xs):
     shape = ys.shape
     yf = ys.reshape(-1).astype(jnp.int32)
     xf = xs.reshape(-1).astype(jnp.int32)
-    start = jnp.stack([yf - 1, xf - 1], axis=-1)
+    # Clamp the window to the image: border detections get a shifted
+    # window, but ok_y/ok_x already zero their offsets — the clamp only
+    # keeps the gather starts non-negative (the DMA gather clamps
+    # negatives to the HIGH end, unlike dynamic_slice).
+    start = jnp.stack(
+        [jnp.clip(yf - 1, 0, h - 3), jnp.clip(xf - 1, 0, w - 3)], axis=-1
+    )
 
     from .dma_gather import gather_windows, use_dma_gather
 

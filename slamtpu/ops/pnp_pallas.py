@@ -230,7 +230,12 @@ def pnp_refine_pallas(theta0, points, pixels_yx, valid, intrinsics, *,
 
 
 def use_pallas_pnp() -> bool:
-    """Trace-time switch (SLAMTPU_PALLAS_PNP=1, TPU backend only)."""
+    """Trace-time switch (SLAMTPU_PALLAS_PNP=1; TPU, or interpreter under SLAMTPU_PALLAS_INTERPRET=1)."""
     if os.environ.get("SLAMTPU_PALLAS_PNP") != "1":
         return False
+    # TPU only — except under the explicit SLAMTPU_PALLAS_INTERPRET test
+    # override, which runs the kernels in interpreter mode so CPU e2e
+    # tests can exercise the full gated configuration.
+    if os.environ.get("SLAMTPU_PALLAS_INTERPRET") == "1":
+        return True
     return jax.default_backend() == "tpu"

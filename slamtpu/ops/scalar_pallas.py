@@ -54,9 +54,11 @@ def masked_median_pallas(values, mask, iters: int = 24,
 
 
 def use_scalar_pallas() -> bool:
-    """Trace-time switch (SLAMTPU_PALLAS_SCALAR=1, TPU backend only)."""
+    """Trace-time switch (SLAMTPU_PALLAS_SCALAR=1; TPU, or interpreter under SLAMTPU_PALLAS_INTERPRET=1)."""
     if os.environ.get("SLAMTPU_PALLAS_SCALAR") != "1":
         return False
+    if os.environ.get("SLAMTPU_PALLAS_INTERPRET") == "1":
+        return True
     return jax.default_backend() == "tpu"
 
 
@@ -124,7 +126,9 @@ def solve_psd_pallas(A, b, *, interpret: bool | None = None):
 
 
 def use_pallas_solve() -> bool:
-    """Trace-time switch (SLAMTPU_PALLAS_SOLVE=1, TPU backend only)."""
+    """Trace-time switch (SLAMTPU_PALLAS_SOLVE=1; TPU, or interpreter under SLAMTPU_PALLAS_INTERPRET=1)."""
     if os.environ.get("SLAMTPU_PALLAS_SOLVE") != "1":
         return False
+    if os.environ.get("SLAMTPU_PALLAS_INTERPRET") == "1":
+        return True
     return jax.default_backend() == "tpu"

@@ -276,8 +276,15 @@ def make_ba_inputs(n_poses: int, n_points: int, n_obs: int, seed: int = 0):
         [rng.uniform(-2, 6, n_points), rng.uniform(-2, 2, n_points),
          rng.uniform(5, 12, n_points)], axis=-1
     ).astype(np.float32)
-    obs_pose = rng.integers(0, n_poses, n_obs).astype(np.int32)
-    obs_point = rng.integers(0, n_points, n_obs).astype(np.int32)
+    # Sample (pose, point) pairs WITHOUT replacement: production
+    # observations are unique per (keyframe, point), which is what makes
+    # K = P a hard bound for ba.py::_bucket_observations — duplicates
+    # would overflow a point's bucket and silently drop observations.
+    if n_obs > n_poses * n_points:
+        raise ValueError("n_obs exceeds the unique (pose, point) pairs")
+    pairs = rng.choice(n_poses * n_points, size=n_obs, replace=False)
+    obs_pose = (pairs // n_points).astype(np.int32)
+    obs_point = (pairs % n_points).astype(np.int32)
     from ..hostmath import rot_zyx as host_rot
 
     px = np.zeros((n_obs, 2), np.float32)

@@ -83,7 +83,7 @@ def test_ba_mesh_step_matches_unsharded():
     from slamtpu.parallel.multi import ba_mesh_step, make_ba_inputs, make_mesh
 
     args, gt_poses, gt_points = make_ba_inputs(
-        n_poses=6, n_points=64, n_obs=512, seed=2
+        n_poses=6, n_points=64, n_obs=320, seed=2
     )
 
     mesh = make_mesh(8)
