@@ -79,6 +79,37 @@ def state_rows(cap: int) -> int:
     return cap + N_GROUPS + N_MISC_ROWS
 
 
+def _use_sort_scatter() -> bool:
+    """Trace-time switch (SLAMTPU_SORT_SCATTER=1): replace the admission
+    row scatters with one sort + gathers — in-program scatters cost ~8 ms
+    each on the tunnel backend (PERF.md cost model) while a ~3k-element
+    sort + searchsorted + gathers are ~1-2 ms total."""
+    import os
+
+    return os.environ.get("SLAMTPU_SORT_SCATTER") == "1"
+
+
+def _admit_rows(scatter_idx, cap: int, flat, pairs):
+    """out[s] = values[j] where scatter_idx[j] == s else base[s], plus the
+    admitted-slot mask. Targets < cap are unique by construction (slot =
+    running admitted count); `cap` is the shared dump row. Semantically
+    identical to `.at[scatter_idx].set(values)[:cap]` per pair."""
+    order = jnp.argsort(scatter_idx)
+    st = scatter_idx[order]
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.clip(
+        jnp.searchsorted(st, slots), 0, st.shape[0] - 1
+    )
+    hit = (st[pos] == slots)
+    src = order[pos]
+    new_mask = hit & flat[src]
+    outs = []
+    for base, values in pairs:
+        hb = hit.reshape((cap,) + (1,) * (values.ndim - 1))
+        outs.append(jnp.where(hb, values[src], base))
+    return outs, new_mask
+
+
 def _shi_tomasi_cells(pyr_left, px, occ_rows, *, pad, height, width,
                       radius, min_response, cell_size, subpix=False):
     """Shi-Tomasi response -> occupancy suppression -> 3x3 NMS -> per-cell
@@ -216,16 +247,22 @@ def keyframe_step(
     det_und, _ = _undistort_backproject(det_px, intr_l, dist_l)
     scatter_idx = jnp.where(flat, slot, cap)  # cap = dump row
 
-    def scatter2(base, values):
-        ext = jnp.concatenate([base, jnp.zeros((1, 2), base.dtype)])
-        return ext.at[scatter_idx].set(values)[:cap]
+    if _use_sort_scatter():
+        (px_full, und_full), new_mask = _admit_rows(
+            scatter_idx, cap, flat, [(px, det_px), (und, det_und)]
+        )
+        valid_full = valid | new_mask
+    else:
+        def scatter2(base, values):
+            ext = jnp.concatenate([base, jnp.zeros((1, 2), base.dtype)])
+            return ext.at[scatter_idx].set(values)[:cap]
 
-    px_full = scatter2(px, det_px)
-    und_full = scatter2(und, det_und)
-    valid_full = (
-        jnp.concatenate([valid, jnp.zeros((1,), bool)])
-        .at[scatter_idx].set(flat)[:cap]
-    ) | valid
+        px_full = scatter2(px, det_px)
+        und_full = scatter2(und, det_und)
+        valid_full = (
+            jnp.concatenate([valid, jnp.zeros((1,), bool)])
+            .at[scatter_idx].set(flat)[:cap]
+        ) | valid
 
     # ---- 3. stereo KLT over the combined set ------------------------------
     tracked_px, ok, _ = fb_cascade(
@@ -421,15 +458,20 @@ def keyframe_step_carry(
     det_und, _ = _undistort_backproject(det_px, intr_l, dist_l)
     scatter_idx = jnp.where(flat, slot, cap)  # cap = dump row
 
-    def scatter2(base, values):
-        ext = jnp.concatenate([base, jnp.zeros((1, 2), base.dtype)])
-        return ext.at[scatter_idx].set(values)[:cap]
+    if _use_sort_scatter():
+        (px_full, und_full), new_mask = _admit_rows(
+            scatter_idx, cap, flat, [(px, det_px), (und_up, det_und)]
+        )
+    else:
+        def scatter2(base, values):
+            ext = jnp.concatenate([base, jnp.zeros((1, 2), base.dtype)])
+            return ext.at[scatter_idx].set(values)[:cap]
 
-    px_full = scatter2(px, det_px)
-    und_full = scatter2(und_up, det_und)
-    new_mask = (
-        jnp.zeros((cap + 1,), bool).at[scatter_idx].set(flat)[:cap]
-    )
+        px_full = scatter2(px, det_px)
+        und_full = scatter2(und_up, det_und)
+        new_mask = (
+            jnp.zeros((cap + 1,), bool).at[scatter_idx].set(flat)[:cap]
+        )
     valid_full = valid | new_mask
     track_full = track_mask | new_mask
 

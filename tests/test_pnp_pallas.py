@@ -209,3 +209,38 @@ def test_p3p_pallas_matches_xla():
     dR = np.abs(Rp - Rx).max(axis=(-1, -2))
     assert np.mean(dR[both] < 5e-3) > 0.9
     assert np.mean(okx == okp) > 0.95
+
+
+def test_admit_rows_matches_scatter():
+    """Sort+gather admission (_admit_rows) vs the .at[].set scatter form."""
+    from slamtpu.ops.keyframe_step import _admit_rows
+
+    rng = np.random.default_rng(17)
+    cap, d = 64, 160
+    flat = rng.uniform(size=d) > 0.7
+    before = np.cumsum(flat) - flat
+    slot = (10 + before).astype(np.int32)     # unique targets
+    flat = flat & (slot < cap)
+    scatter_idx = np.where(flat, slot, cap).astype(np.int32)
+    base = rng.normal(size=(cap, 2)).astype(np.float32)
+    values = rng.normal(size=(d, 2)).astype(np.float32)
+    base1 = rng.normal(size=(cap, 2)).astype(np.float32)
+    values1 = rng.normal(size=(d, 2)).astype(np.float32)
+
+    ext = np.concatenate([base, np.zeros((1, 2), np.float32)])
+    ext[scatter_idx] = values
+    want = ext[:cap]
+    mask_want = np.zeros(cap + 1, bool)
+    mask_want[scatter_idx] = flat
+    mask_want = mask_want[:cap]
+
+    (got, got1), mask_got = _admit_rows(
+        jnp.asarray(scatter_idx), cap, jnp.asarray(flat),
+        [(jnp.asarray(base), jnp.asarray(values)),
+         (jnp.asarray(base1), jnp.asarray(values1))],
+    )
+    np.testing.assert_array_equal(np.asarray(mask_got), mask_want)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    ext1 = np.concatenate([base1, np.zeros((1, 2), np.float32)])
+    ext1[scatter_idx] = values1
+    np.testing.assert_array_equal(np.asarray(got1), ext1[:cap])
