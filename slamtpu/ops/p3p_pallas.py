@@ -18,7 +18,20 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+
+
+def _acos(x):
+    """acos on [-1, 1] via Abramowitz-Stegun 4.4.46 (|err| <= 2e-8):
+    acos(y) = sqrt(1 - y) * P7(y) for y in [0, 1], reflected for y < 0."""
+    y = jnp.abs(x)
+    p = jnp.float32(-0.0012624911)
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * y + jnp.float32(c)
+    r = jnp.sqrt(jnp.maximum(1.0 - y, 0.0)) * p
+    return jnp.where(x < 0, jnp.float32(np.pi) - r, r)
 
 
 def _cbrt(x):
@@ -39,7 +52,10 @@ def _cubic_max_real_root(b, c, d):
     pm = jnp.minimum(p, -1e-12)
     m = 2.0 * jnp.sqrt(-pm / 3.0)
     arg = jnp.clip(3.0 * q / (pm * m), -1.0, 1.0)
-    theta = jnp.arccos(arg) / 3.0
+    # Mosaic lowers neither acos nor atan2; use the Abramowitz-Stegun
+    # 4.4.46 polynomial (|err| <= 2e-8 < f32 eps; the quartic roots are
+    # Newton-polished downstream, which absorbs it entirely).
+    theta = _acos(arg) / 3.0
     root_tri = None
     for k in range(3):
         r = m * jnp.cos(theta - k * (2.0 * jnp.pi / 3.0))

@@ -112,20 +112,23 @@ def _level_kernel(frame_ref, stack_ref, blur_ref, buf, sem, *,
     b = pl.program_id(0)
     o = b * BR
     # Stack rows [o, o + BR) need image rows [o - PAD - 13, o - PAD + BR + 13)
-    # = frame rows [o + M - 13, o + M + BR + 13): BR + 26 rows from o + 19.
+    # = frame rows [o + M - 13, o + M + BR + 13). Mosaic DMA slices must be
+    # sublane-aligned (offset and length multiples of 8), so copy the
+    # enclosing aligned window: frame rows [o + 16, o + 16 + BR + 32) —
+    # image row t lands at buf index t - (o - PAD - 16).
     cp = pltpu.make_async_copy(
-        frame_ref.at[pl.ds(o + (M - 13), BR + 26)], buf, sem
+        frame_ref.at[pl.ds(o + 16, BR + 32)], buf, sem
     )
     cp.start()
     cp.wait()
-    img = buf[:]               # image row t at index t - (o - PAD - 13)
+    img = buf[:]               # image row t at index t - (o - PAD - 16)
 
     # Scharr (reference pyramid.jl:98-103): iy = deriv_y (x) smooth_x,
-    # ix = smooth_y (x) deriv_x. Vertical pass over buf rows [0, BR + 24):
+    # ix = smooth_y (x) deriv_x. Vertical pass over buf rows [3, BR + 27):
     # covers image rows [o - PAD - 12, o - PAD + BR + 12).
     gr = BR + 24
-    iy = _hconv(_vconv_slice(img, _SCHARR_DERIV, gr, 0), _SCHARR_SMOOTH)
-    ix = _hconv(_vconv_slice(img, _SCHARR_SMOOTH, gr, 0), _SCHARR_DERIV)
+    iy = _hconv(_vconv_slice(img, _SCHARR_DERIV, gr, 3), _SCHARR_SMOOTH)
+    ix = _hconv(_vconv_slice(img, _SCHARR_SMOOTH, gr, 3), _SCHARR_DERIV)
 
     # Gradient products, sigma-4 blur (reference lucas_kanade.jl:112).
     # The XLA pipeline blurs products that are zero outside the (h, w)
@@ -143,8 +146,8 @@ def _level_kernel(frame_ref, stack_ref, blur_ref, buf, sem, *,
     g = _hconv(_vconv_slice(prods, gk, BR, 0), gk)  # rows [o-PAD, o-PAD+BR)
 
     # Output row r of this block = stack row o + r = image row o + r - PAD;
-    # image row t sits at buf index t - (o - PAD - 13).
-    img_rows = jax.lax.slice_in_dim(img, 13, 13 + BR, axis=0)
+    # image row t sits at buf index t - (o - PAD - 16).
+    img_rows = jax.lax.slice_in_dim(img, 16, 16 + BR, axis=0)
     iy_rows = jax.lax.slice_in_dim(iy, 12, 12 + BR, axis=0)
     ix_rows = jax.lax.slice_in_dim(ix, 12, 12 + BR, axis=0)
 
@@ -166,7 +169,7 @@ def _level_kernel(frame_ref, stack_ref, blur_ref, buf, sem, *,
     stack_ref[...] = jax.lax.slice_in_dim(out, 0, ow, axis=2)
 
     if not last:
-        bl = _hconv(_vconv_slice(img, lk, BR, 10), lk)  # rows [o-PAD, ...)
+        bl = _hconv(_vconv_slice(img, lk, BR, 13), lk)  # rows [o-PAD, ...)
         bl = _hshift(bl * mask, CP - PAD)
         blur_ref[...] = jax.lax.slice_in_dim(bl, 0, ow, axis=1)
 
@@ -225,7 +228,7 @@ def _pyr_level(frame, h: int, w: int, *, gk: np.ndarray, lk: np.ndarray,
         out_shape=out_shapes,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((BR + 26, wp), jnp.float32),
+            pltpu.VMEM((BR + 32, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

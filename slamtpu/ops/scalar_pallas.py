@@ -70,43 +70,46 @@ def _solve_kernel(a_ref, b_ref, out_ref, *, k):
     A = a_ref[...]
     b = b_ref[...]  # (1, k)
     idx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    L = jnp.zeros_like(A)
-    for j in range(k):
-        # s = A[:, j] - L @ L[j, :]^T  (columns >= j of L still zero).
-        Lj = jax.lax.dynamic_slice(L, (j, 0), (1, k))      # row j
-        s = jax.lax.dynamic_slice(A, (0, j), (k, 1)) - jax.lax.dot_general(
-            L, Lj, (((1,), (1,)), ((), ())),
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def dot(u, v, dims):
+        return jax.lax.dot_general(
+            u, v, (dims, ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        d = jnp.sqrt(jnp.maximum(s[j, 0], 1e-12))
+
+    # Mosaic TC has no dynamic_slice (and single-sublane static slices hit
+    # tiling limits), so every row/column extraction is a one-hot contraction.
+    L = jnp.zeros_like(A)
+    for j in range(k):
+        oh_row = (lane == j).astype(jnp.float32)           # (1, k)
+        oh_col = (idx == j).astype(jnp.float32)            # (k, 1)
+        Lj = dot(oh_row, L, (((1,), (0,))))                # row j of L
+        # s = A[:, j] - L @ L[j, :]^T  (columns >= j of L still zero).
+        s = dot(A, oh_col, (((1,), (0,)))) - dot(L, Lj, (((1,), (1,))))
+        sjj = jnp.sum(s * oh_col)
+        d = jnp.sqrt(jnp.maximum(sjj, 1e-12))
         col = jnp.where(idx >= j, s / d, 0.0)              # (k, 1)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) == j)
-        L = L + col * onehot.astype(jnp.float32)
+        L = L + col * oh_row
     # Forward substitution L y = b.
     y = jnp.zeros((k, 1), jnp.float32)
     for i in range(k):
-        Li = jax.lax.dynamic_slice(L, (i, 0), (1, k))
-        s = b[0, i] - jax.lax.dot_general(
-            Li, y, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )[0, 0]
-        yi = s / L[i, i]
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == i)
-        y = y + yi * onehot.astype(jnp.float32)
+        oh_row = (lane == i).astype(jnp.float32)
+        oh_col = (idx == i).astype(jnp.float32)
+        Li = dot(oh_row, L, (((1,), (0,))))                # row i of L
+        Lii = jnp.sum(Li * oh_row)
+        s = jnp.sum(b * oh_row) - jnp.sum(dot(Li, y, (((1,), (0,)))))
+        y = y + (s / Lii) * oh_col
     # Back substitution L^T x = y.
     x = jnp.zeros((k, 1), jnp.float32)
     for i in reversed(range(k)):
-        Lc = jax.lax.dynamic_slice(L, (0, i), (k, 1))
-        s = y[i, 0] - jax.lax.dot_general(
-            Lc, x, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )[0, 0]
-        xi = s / L[i, i]
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == i)
-        x = x + xi * onehot.astype(jnp.float32)
+        oh_row = (lane == i).astype(jnp.float32)
+        oh_col = (idx == i).astype(jnp.float32)
+        Lc = dot(L, oh_col, (((1,), (0,))))                # column i of L
+        Lii = jnp.sum(Lc * oh_col)
+        s = jnp.sum(y * oh_col) - jnp.sum(dot(Lc, x, (((0,), (0,)))))
+        x = x + (s / Lii) * oh_col
     out_ref[...] = x.reshape(1, k)
 
 

@@ -406,8 +406,13 @@ def test_pallas_pyramid_on_device(tpu_backend):
 
     rng = np.random.default_rng(11)
     img = jnp.asarray(rng.uniform(0, 1, (120, 200)).astype(np.float32))
+    # Oracle: the XLA pyramid on CPU (exact f32 convs). The XLA pyramid ON
+    # THE TPU is the wrong side of this comparison — its convs ride the MXU
+    # at default (bf16) precision and carry ~3e-3 gradient error; the
+    # Pallas kernel's pure-VPU arithmetic is bit-exact vs CPU f32
+    # (measured 2026-08-18).
     want = jax.device_get(
-        jax.jit(lambda x: lk_pyramid_impl(x, levels=3))(img)
+        jax.jit(lambda x: lk_pyramid_impl(x, levels=3), backend="cpu")(img)
     )
     got = jax.device_get(
         jax.jit(
@@ -418,7 +423,7 @@ def test_pallas_pyramid_on_device(tpu_backend):
         gs, ws = got[lvl]["stack"], want[lvl]["stack"]
         assert gs.shape == ws.shape
         scale = max(1.0, float(np.abs(ws).max()))
-        tol = 5e-5 if lvl == 0 else 1e-3
+        tol = 5e-6 if lvl == 0 else 1e-4
         assert np.abs(gs - ws).max() < tol * scale, lvl
 
 
