@@ -185,10 +185,14 @@ def _solver_kernel(
         running = running & ok & ~converged & ~escaped
         return fy, fx, running, ok
 
-    fy, fx, _, ok = jax.lax.fori_loop(
-        0, iters, body,
-        (flow_ref[0, :], flow_ref[1, :], ok0, ok0),
-    )
+    # Unrolled: Mosaic fails to legalize scf.for with this carry structure
+    # ("failed to legalize operation 'scf.for'", measured 2026-08-18), and
+    # the trip count is static anyway. Unrolling also lets the compiler
+    # schedule across iterations.
+    carry = (flow_ref[0, :], flow_ref[1, :], ok0, ok0)
+    for it in range(iters):
+        carry = body(it, carry)
+    fy, fx, _, ok = carry
     oflow_ref[0, :] = fy
     oflow_ref[1, :] = fx
     ook_ref[0, :] = ok.astype(jnp.float32)

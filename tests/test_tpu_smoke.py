@@ -280,7 +280,9 @@ def test_lk_1d_matches_2d_on_device(tpu_backend):
         )
         centers.append((cy_, cx_))
     img = (img / img.max()).astype(np.float32)
-    img_r = np.roll(img, -3, 1).astype(np.float32)  # disparity 3 px
+    # np.roll(img, -3) moves content LEFT 3 px: the right-image match of
+    # left pixel x sits at x - 3, so the expected LK flow is -3.
+    img_r = np.roll(img, -3, 1).astype(np.float32)
     pts = np.asarray(centers[:n], np.float32)
 
     pyr_l = build_lk_pyramid(jnp.asarray(img), levels=levels, pad=pad)
@@ -300,7 +302,7 @@ def test_lk_1d_matches_2d_on_device(tpu_backend):
     assert both.mean() > 0.5
     dx = np.abs(out["1d"][0][both, 1] - out["2d"][0][both, 1])
     assert np.median(dx) < 0.2
-    assert np.median(np.abs(out["1d"][0][both, 1] - 3.0)) < 0.3
+    assert np.median(np.abs(out["1d"][0][both, 1] - (-3.0))) < 0.3
 
 
 def test_fused_pallas_solver_on_device(tpu_backend):
@@ -441,7 +443,11 @@ def test_pallas_pnp_on_device(tpu_backend):
     th0, pts, px, valid, intr, _ = _problem(5)
     args = (jnp.asarray(th0), jnp.asarray(pts), jnp.asarray(px),
             jnp.asarray(valid), jnp.asarray(intr))
-    want = jax.device_get(pnp_refine(*args))
+    # Oracle: the XLA loop on CPU (exact f32). The TPU XLA loop's jacfwd/
+    # normal-equation matmuls ride the MXU at bf16 default precision and
+    # its LM path can diverge measurably (same finding as the pyramid and
+    # DLT kernels, 2026-08-18).
+    want = jax.device_get(jax.jit(pnp_refine, backend="cpu")(*args))
     got = jax.device_get(jax.jit(
         lambda *a: pnp_refine_pallas(*a, interpret=False)
     )(*args))
@@ -485,9 +491,15 @@ def test_pallas_dlt_on_device(tpu_backend):
         return (pc[:, :2] / pc[:, 2:3]).astype(np.float32)
     a1 = jnp.asarray(proj(P1, pts))
     a2 = jnp.asarray(proj(P2m, pts))
-    want = np.asarray(
-        triangulate_points(a1, a2, jnp.asarray(P1), jnp.asarray(P2m))
-    )
+    # Oracle: the XLA DLT on CPU. On the TPU the XLA path's A^T A /
+    # inverse-iteration algebra picks up bf16 MXU error (measured up to
+    # 0.66 per point on a KITTI-like geometry, 2026-08-18) while the
+    # Pallas kernel's pure-VPU arithmetic tracks CPU f32 to ~7e-5.
+    import jax
+
+    want = np.asarray(jax.jit(triangulate_points, backend="cpu")(
+        a1, a2, jnp.asarray(P1), jnp.asarray(P2m)
+    ))
     got = np.asarray(triangulate_points_pallas(
         a1, a2, jnp.asarray(P1), jnp.asarray(P2m), interpret=False
     ))
