@@ -16,6 +16,7 @@ from __future__ import annotations
 import logging
 import threading
 import time as _time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
@@ -70,6 +71,9 @@ class SlamManager:
 
         self.frame_id = 0
         self.exit_required = False
+        # Single worker so uploads stay ordered; overlaps the ~7 ms H2D
+        # put (plus the host cast) with the pipeline's apply fetches.
+        self._uploader = ThreadPoolExecutor(max_workers=1)
         self._pending_kf = None
         self._image_queue = []
         self._queue_lock = threading.Lock()
@@ -113,11 +117,13 @@ class SlamManager:
         return jnp.asarray(arr)
 
     def _process_frame(self, image, right_image, time: float):
-        image_dev = self._to_device_image(image)
-
         fe = self.front_end
         if (self.params.pipelined and self.params.sequential
                 and fe.pipeline_active):
+            # The left upload (host cast + ~7 ms H2D on the tunnel) runs on
+            # a worker thread, overlapped with this frame's apply/fetch work
+            # below; joined right before dispatch needs the device buffer.
+            upload = self._uploader.submit(self._to_device_image, image)
             # The right image is only read on the keyframe path — keep it
             # on the host (numpy) and upload at keyframe-apply time instead
             # of paying ~6 ms of H2D latency every frame.
@@ -130,6 +136,13 @@ class SlamManager:
             while (fe.inflight and fe.pipeline_active
                    and any(fe.predict_kf(r.fid) for r in fe.inflight)):
                 self._pipeline_apply_one()
+            # Pre-dispatch drain to depth-1 (equivalent to the post-dispatch
+            # drain to depth, one frame shifted) — its device fetches hide
+            # the in-flight upload.
+            while (fe.pipeline_active
+                   and len(fe.inflight) >= self.params.pipeline_depth):
+                self._pipeline_apply_one()
+            image_dev = upload.result()
             if not fe.pipeline_active:
                 # A reset mid-apply tore the pipeline down; fall through to
                 # the classic path for this frame.
@@ -139,9 +152,9 @@ class SlamManager:
                 fe.pipeline_dispatch(
                     self.frame_id, image_dev, right_dev, time
                 )
-                while len(fe.inflight) >= self.params.pipeline_depth:
-                    self._pipeline_apply_one()
                 return
+        else:
+            image_dev = self._to_device_image(image)
 
         right_dev = (
             self._to_device_image(right_image)

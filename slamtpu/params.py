@@ -104,7 +104,9 @@ class Params:
     # gates run one frame behind (slam_manager._drain_pending_kf), with
     # stereo promotions predicted in f32 on device and reconciled by a
     # carry-merge correction. Requires pipelined + fused_keyframe + stereo.
-    async_keyframe: bool = False
+    # Default on since round 3: measured 13.0 vs 11.1 FPS at equal-or-better
+    # ATE (0.038 vs 0.055) on the 60-frame synthetic stereo bench.
+    async_keyframe: bool = True
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —
