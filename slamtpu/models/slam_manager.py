@@ -104,8 +104,10 @@ class SlamManager:
 
     # -- per-frame pipeline (SLAM.jl:187-230) -----------------------------------
 
-    def _to_device_image(self, image):
-        with TIMERS.stage("sm.upload"):
+    def _to_device_image(self, image, stage: str = "sm.upload"):
+        # `sm.upload_async` is recorded from the uploader worker thread:
+        # it measures overlapped wall-clock, not main-thread frame time.
+        with TIMERS.stage(stage):
             return self._to_device_image_inner(image)
 
     def _to_device_image_inner(self, image):
@@ -123,7 +125,11 @@ class SlamManager:
             # The left upload (host cast + ~7 ms H2D on the tunnel) runs on
             # a worker thread, overlapped with this frame's apply/fetch work
             # below; joined right before dispatch needs the device buffer.
-            upload = self._uploader.submit(self._to_device_image, image)
+            if self._uploader is None:  # re-created after finish()/wait()
+                self._uploader = ThreadPoolExecutor(max_workers=1)
+            upload = self._uploader.submit(
+                self._to_device_image, image, "sm.upload_async"
+            )
             # The right image is only read on the keyframe path — keep it
             # on the host (numpy) and upload at keyframe-apply time instead
             # of paying ~6 ms of H2D latency every frame.
@@ -351,6 +357,7 @@ class SlamManager:
             self._pipeline_apply_one()
         self._drain_pending_kf()
         self.mapper.estimator.flush()
+        self._shutdown_uploader()
 
     def wait(self):
         """Drain queues and stop worker threads (threaded mode)."""
@@ -363,6 +370,14 @@ class SlamManager:
         self.exit_required = True
         for t in self._threads:
             t.join(timeout=5.0)
+        self._shutdown_uploader()
+
+    def _shutdown_uploader(self):
+        """Release the upload worker thread (ADVICE r3): long-lived apps
+        creating many SlamManagers must not accumulate idle threads."""
+        if self._uploader is not None:
+            self._uploader.shutdown(wait=False)
+            self._uploader = None
 
     # -- reset (SLAM.jl:316-323) -------------------------------------------------
 

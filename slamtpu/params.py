@@ -139,7 +139,10 @@ class Params:
     # backend: depth 2 → 5.7 FPS, 3 → 5.9 (then 7.9 after the round-3
     # kernel work), 4 → 8.4, 5 → 7.9 (replay cost of keyframe
     # mispredictions overtakes the extra overlap). ATE/cadence identical
-    # at 3/4/5.
+    # at 3/4/5. Streaming-latency note: between add_*_image calls up to
+    # `pipeline_depth` frames (not depth-1: the drain runs pre-dispatch)
+    # are in flight, so slam_io pose outputs lag mid-sequence by up to
+    # that many frames; finish()/wait() flushes them all.
     pipeline_depth: int = 4
 
     # -- runtime state (src/params.jl:79-81) --------------------------------

@@ -7,6 +7,7 @@ structured stage-timer registry and optional jax.profiler traces.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, List
@@ -19,10 +20,15 @@ class StageTimers:
     (first-call remote compiles / tunnel warm-up, which can be 100-1000x a
     steady call on this backend) from steady state: `summary()` reports the
     median/p90 and a drop-first mean next to the raw mean.
+
+    Thread-safe: stages recorded from worker threads (e.g. the async image
+    uploader, keys suffixed `_async`) measure OVERLAPPED wall-clock — they
+    run concurrently with main-thread stages and do not sum with them.
     """
 
     def __init__(self):
         self.durations: Dict[str, List[float]] = defaultdict(list)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -30,18 +36,21 @@ class StageTimers:
         try:
             yield
         finally:
-            self.durations[name].append(time.perf_counter() - t0)
+            self.add(name, time.perf_counter() - t0)
 
     def add(self, name: str, dt: float):
-        self.durations[name].append(dt)
+        with self._lock:
+            self.durations[name].append(dt)
 
     def summary(self) -> Dict[str, dict]:
+        with self._lock:
+            snapshot = {k: list(v) for k, v in self.durations.items()}
         out = {}
-        for name in sorted(self.durations):
-            d = sorted(self.durations[name])
+        for name in sorted(snapshot):
+            d = sorted(snapshot[name])
             n = len(d)
             total = sum(d)
-            steady = self.durations[name][1:] or self.durations[name]
+            steady = snapshot[name][1:] or snapshot[name]
             out[name] = {
                 "total_s": round(total, 4),
                 "calls": n,
@@ -54,7 +63,8 @@ class StageTimers:
         return out
 
     def reset(self):
-        self.durations.clear()
+        with self._lock:
+            self.durations.clear()
 
 
 TIMERS = StageTimers()
