@@ -25,10 +25,22 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover - best effort
         pass
-    # NOTE: do NOT set jax_default_matmul_precision here. Three independent
-    # experiments (BA lookups, BA reductions, global f32) showed that
-    # raising matmul precision above the TPU default consistently lands the
-    # pipeline in much worse trajectory basins on the synthetic benchmark
-    # (ATE 0.12 -> 1.6-1.7 m). Root cause under investigation (see PERF.md);
-    # the shipped configuration is the extensively-validated default.
+    # Matmul precision (SLAMTPU_MM_PRECISION: "float32" default | "default"
+    # keeps the backend's bf16 passes | any jax precision name).
+    # History: round-1 experiments (BA lookups, BA reductions, global f32)
+    # landed the then-pipeline in much worse trajectory basins (ATE 0.12 ->
+    # 1.6-1.7 m) and the default stayed bf16 through round 3. Round 4 re-ran
+    # the experiment on the rewritten pipeline and flipped the default: the
+    # bf16 matmuls were root-caused as the driver of the 2x TPU-vs-CPU
+    # keyframe-cadence gap (bf16 projection/PnP/P3P chains add ~1 px
+    # reprojection noise against the 3 px outlier gate, decaying 3D tracks
+    # ~2x faster). Measured on the 60-frame city bench: bf16 21 KFs /
+    # ATE 0.0375 vs f32 12 KFs / ATE 0.0331, matching CPU exec's 12 KFs /
+    # 0.0401 (see PERF.md round 4; scripts/diag_cadence.py reproduces).
+    prec = os.environ.get("SLAMTPU_MM_PRECISION", "float32")
+    if prec and prec != "default":
+        try:
+            jax.config.update("jax_default_matmul_precision", prec)
+        except Exception:  # pragma: no cover - best effort
+            pass
     _enabled = True
