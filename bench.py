@@ -8,6 +8,12 @@ Uses KITTI odometry seq 05 if available (env KITTI_DIR or ./data/kitti),
 otherwise a synthetic KITTI-sized stereo scene with exact ground truth.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = fps / 60 (BASELINE.json north star: >= 60 FPS on one v5e).
+
+The primary metric is the city-layout stereo run; the same line carries a
+`slab` block (the round-1/2 layout, for cross-round comparability) and a
+`mono` block (the reference is monocular-first). BENCH_EXTRAS=0 skips the
+extra runs for quick iteration. FPS is wall-clock over the steady span
+INCLUDING the final pipeline drain (no in-flight frames excluded).
 """
 from __future__ import annotations
 
@@ -49,48 +55,44 @@ def prewarm_ba(camera):
         res["final_cost"].block_until_ready()
 
 
-def load_frames():
-    from slamtpu import Camera, Params
+def load_kitti_frames():
+    from slamtpu import Camera
 
     kitti_dir = os.environ.get("KITTI_DIR", "data/kitti")
     seq = os.environ.get("KITTI_SEQ", "05")
-    if os.path.isdir(os.path.join(kitti_dir, "sequences", seq)):
-        from slamtpu.datasets.kitti import load_kitti
+    if not os.path.isdir(os.path.join(kitti_dir, "sequences", seq)):
+        return None
+    from slamtpu.datasets.kitti import load_kitti
 
-        ds = load_kitti(kitti_dir, seq, stereo=True)
-        fx, fy = ds.K[0, 0], ds.K[1, 1]
-        cx, cy = ds.K[0, 2], ds.K[1, 2]
-        camera = Camera(fx, fy, cx, cy, ds.height, ds.width)
-        right_camera = Camera(fx, fy, cx, cy, ds.height, ds.width, Ti0=ds.Ti0)
-        n = min(N_FRAMES, len(ds))
-        frames = [ds[i] for i in range(n)]
-        times = ds.timestamps[:n]
-        gt = ds.ground_truth_positions()[:n] if ds.poses else None
-        return "kitti05", camera, right_camera, frames, times, gt
+    ds = load_kitti(kitti_dir, seq, stereo=True)
+    fx, fy = ds.K[0, 0], ds.K[1, 1]
+    cx, cy = ds.K[0, 2], ds.K[1, 2]
+    camera = Camera(fx, fy, cx, cy, ds.height, ds.width)
+    right_camera = Camera(fx, fy, cx, cy, ds.height, ds.width, Ti0=ds.Ti0)
+    n = min(N_FRAMES, len(ds))
+    frames = [ds[i] for i in range(n)]
+    times = ds.timestamps[:n]
+    gt = ds.ground_truth_positions()[:n] if ds.poses else None
+    return f"kitti{seq}", camera, right_camera, frames, times, gt
 
+
+def load_synthetic(layout: str):
     from slamtpu.datasets.synthetic import make_scene
 
-    layout = os.environ.get("BENCH_LAYOUT", "city")
     scene = make_scene(
         n_frames=N_FRAMES, height=376, width=1241, n_points=6000,
         stereo=True, baseline=0.54, seed=7, layout=layout,
     )
     frames = [scene.frame(i) for i in range(len(scene))]
     gt = np.stack([p[:3, 3] for p in scene.poses_wc])
-    return ("synthetic_kitti_sized", scene.camera, scene.right_camera,
+    return (f"synthetic_{layout}", scene.camera, scene.right_camera,
             frames, scene.timestamps, gt)
 
 
-def main():
+def make_params(stereo: bool, threaded: bool):
     from slamtpu import Params
-    from slamtpu.eval.ate import ate_rmse
-    from slamtpu.io.saver import ReplaySaver
-    from slamtpu.models.slam_manager import SlamManager
 
-    name, camera, right_camera, frames, times, gt = load_frames()
-
-    threaded = os.environ.get("BENCH_MODE", "sequential") == "threaded"
-    params = Params(stereo=True, do_local_bundle_adjustment=True,
+    params = Params(stereo=stereo, do_local_bundle_adjustment=True,
                     map_filtering=True, sequential=not threaded)
     # A/B knobs (see PERF.md):
     if os.environ.get("BENCH_PIPELINED"):
@@ -116,62 +118,120 @@ def main():
         params.stereo_klt_1d = os.environ["BENCH_STEREO_1D"] == "1"
     if os.environ.get("BENCH_SUBPIX"):
         params.subpixel_detect = os.environ["BENCH_SUBPIX"] == "1"
+    if os.environ.get("BENCH_SPEC_KF"):
+        params.speculate_keyframes = os.environ["BENCH_SPEC_KF"] == "1"
+    return params
+
+
+def run_once(loaded, stereo: bool, threaded: bool) -> dict:
+    """One full run; returns fps/ate/keyframes. FPS is wall-clock over the
+    steady frames (warmup excluded) INCLUDING the final drain."""
+    from slamtpu.eval.ate import ate_rmse
+    from slamtpu.io.saver import ReplaySaver
+    from slamtpu.models.slam_manager import SlamManager
+
+    name, camera, right_camera, frames, times, gt = loaded
+    params = make_params(stereo, threaded)
     saver = ReplaySaver()
-    sm = SlamManager(params, camera, right_camera=right_camera,
+    sm = SlamManager(params, camera,
+                     right_camera=right_camera if stereo else None,
                      slam_io=saver)
     prewarm_ba(camera)
 
-    if threaded:
-        # Reference-style 3-stage pipeline: mapper + estimator overlap with
-        # tracking. Warm up (compiles) lock-step, then measure wall time of
-        # the steady frames with bounded in-flight backpressure.
-        for i in range(min(WARMUP, len(frames))):
-            left, right = frames[i]
+    def feed(i):
+        left, right = frames[i]
+        if stereo:
             sm.add_stereo_image(left, right, float(times[i]))
+        else:
+            sm.add_image(left, float(times[i]))
+
+    if threaded:
+        # Reference-style 3-stage pipeline: warm up (compiles) lock-step,
+        # then measure wall time with bounded in-flight backpressure.
+        for i in range(min(WARMUP, len(frames))):
+            feed(i)
             while sm.get_queue_size() > 0:
                 time.sleep(0.005)
         t0 = time.perf_counter()
         for i in range(WARMUP, len(frames)):
-            left, right = frames[i]
             while sm.get_queue_size() >= 2:  # bounded backpressure
                 time.sleep(0.002)
-            sm.add_stereo_image(left, right, float(times[i]))
+            feed(i)
         sm.wait()
-        steady_n = max(len(frames) - WARMUP, 1)
-        fps = steady_n / (time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
     else:
-        stamps = []
-        for i, (left, right) in enumerate(frames):
-            t0 = time.perf_counter()
-            sm.add_stereo_image(left, right, float(times[i]))
-            stamps.append(time.perf_counter() - t0)
-        steady = stamps[WARMUP:] if len(stamps) > WARMUP else stamps
-        fps = 1.0 / float(np.mean(steady))
+        for i in range(min(WARMUP, len(frames))):
+            feed(i)
+        # Drain in-flight warmup frames so the timed span owns the pipeline.
+        sm.finish()
+        t0 = time.perf_counter()
+        for i in range(WARMUP, len(frames)):
+            feed(i)
+        sm.finish()  # final drain included in the timed span
+        elapsed = time.perf_counter() - t0
+    steady_n = max(len(frames) - WARMUP, 1)
+    fps = steady_n / elapsed
 
     sm.wait()  # apply deferred optimization results
 
-    extras = {}
+    out = {"fps": round(fps, 2), "frames": len(frames),
+           "n_keyframes": sm.map_manager.nb_keyframes, "scene": name}
     if gt is not None and len(saver.trajectory_xyz()) == len(gt):
         try:
-            extras["ate_rmse_m"] = round(
+            out["ate_rmse_m"] = round(
                 ate_rmse(saver.trajectory_xyz().astype(np.float64), gt,
                          align_scale=False), 4)
         except Exception:
             pass
-    extras["frames"] = len(frames)
-    extras["n_keyframes"] = sm.map_manager.nb_keyframes
+    out["removal_causes"] = dict(sm.front_end.removal_counts)
+    return out
 
+
+def main():
     from slamtpu.utils.profiling import TIMERS
+
+    threaded = os.environ.get("BENCH_MODE", "sequential") == "threaded"
+    extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
+    layout = os.environ.get("BENCH_LAYOUT", "city")
+
+    kitti = load_kitti_frames()
+    primary_loaded = kitti if kitti is not None else load_synthetic(layout)
+
+    primary = run_once(primary_loaded, stereo=True, threaded=threaded)
     print("stage timers:", json.dumps(TIMERS.summary()), file=sys.stderr)
-    print("removal causes:", json.dumps(sm.front_end.removal_counts),
-          file=sys.stderr)
-    print(json.dumps({
-        "metric": f"fps_{name}_stereo_e2e",
-        "value": round(fps, 2),
+    print("removal causes:",
+          json.dumps(primary.pop("removal_causes", {})), file=sys.stderr)
+
+    result = {
+        "metric": f"fps_{primary.pop('scene')}_stereo_e2e",
+        "value": primary.pop("fps"),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 3),
-        **extras,
-    }))
+        "vs_baseline": 0.0,
+        **primary,
+    }
+    result["vs_baseline"] = round(result["value"] / 60.0, 3)
+
+    if extras and kitti is None:
+        other = "slab" if layout == "city" else "city"
+        TIMERS.reset()
+        try:
+            r = run_once(load_synthetic(other), stereo=True,
+                         threaded=threaded)
+            r.pop("removal_causes", None)
+            r.pop("frames", None)
+            result[other] = r
+        except Exception as e:  # pragma: no cover
+            result[other] = {"error": str(e)[:200]}
+        TIMERS.reset()
+        try:
+            r = run_once(primary_loaded, stereo=False, threaded=threaded)
+            r.pop("removal_causes", None)
+            r.pop("frames", None)
+            result["mono"] = r
+        except Exception as e:  # pragma: no cover
+            result["mono"] = {"error": str(e)[:200]}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -52,16 +52,18 @@ def capture():
     orig_ks = ks_mod.keyframe_step_carry
     counts = {"ts": 0, "ks": 0}
 
+    # Keep device refs only (buffers are immutable); fetch once at the end
+    # — a mid-pipeline device_get of the full carry stalls for minutes.
     def ts_hook(*args, **kwargs):
         counts["ts"] += 1
         if counts["ts"] == 10 and "track" not in stash:
-            stash["track"] = (jax.device_get(args), kwargs)
+            stash["track"] = (args, kwargs)
         return orig_ts(*args, **kwargs)
 
     def ks_hook(*args, **kwargs):
         counts["ks"] += 1
         if counts["ks"] == 3 and "kf" not in stash:
-            stash["kf"] = (jax.device_get(args), kwargs)
+            stash["kf"] = (args, kwargs)
         return orig_ks(*args, **kwargs)
 
     ts_mod.track_step = ts_hook
@@ -82,6 +84,10 @@ def capture():
         sm.add_stereo_image(l, r, float(scene.timestamps[i]))
     sm.wait()
     assert "track" in stash and "kf" in stash, (counts, list(stash))
+    print("run done, fetching captures...", flush=True)
+    t0 = time.perf_counter()
+    stash = {k: (jax.device_get(a), kw) for k, (a, kw) in stash.items()}
+    print(f"fetched in {time.perf_counter() - t0:.1f}s", flush=True)
     with open(CAPTURE, "wb") as f:
         pickle.dump(stash, f)
     print("captured:", {k: counts[k] for k in counts}, "->", CAPTURE)
