@@ -80,6 +80,14 @@ class FrontEnd:
         # last keyframe-decision frame and the last observed KF interval.
         self._last_kf_fid = 0
         self._last_kf_interval = 3
+        # speculate_keyframes state: frames dispatched BEFORE a keyframe
+        # landed (their device parallax is stale — decisions re-made on
+        # host), and the newest fid dispatched at adopt time (a keyframe on
+        # an older fid must fall back to discard+replay: its carry predates
+        # the previous keyframe's detections).
+        self._stale_kf_fids: set = set()
+        self._adopt_tip_fid = -1
+        self._n_kf_adopts = 0  # cumulative telemetry (never reset)
         # Diagnostic: cumulative keypoint-removal causes (bench prints it).
         self.removal_counts = {"track": 0, "ess": 0, "p3p": 0, "pnp": 0}
 
@@ -339,7 +347,7 @@ class FrontEnd:
 
     def _apply_fused(self, res, ids, attempted, has_mp,
                      frame: Frame, prev_kf: Frame, time: float,
-                     slam_io=None) -> bool:
+                     slam_io=None, stale_parallax: bool = False) -> bool:
         per_kp, scalars = res
         mm = self.map_manager
         n = len(ids)
@@ -436,8 +444,11 @@ class FrontEnd:
 
         # 4. Motion model + keyframe decision (front_end.jl:116-117).
         self.motion_model.update(frame.wc, time)
+        # A frame dispatched BEFORE a keyframe landed measured its device
+        # parallax against the OLD keyframe (speculate_keyframes): re-make
+        # the decision from host f64 state against the current keyframe.
         return self.check_new_kf_required(
-            median_parallax=float(scalars[38])
+            median_parallax=None if stale_parallax else float(scalars[38])
         )
 
     # ------------------------------------------------------------------
@@ -583,10 +594,13 @@ class FrontEnd:
         # run; temporal promotions land after, via carry_merge) — the
         # removal bookkeeping must follow the device's P3P/PnP membership.
         has_mp = per_kp[:n, 12] > 0
+        stale = rec.fid in self._stale_kf_fids
+        self._stale_kf_fids.discard(rec.fid)
         with TIMERS.stage("fe.pipe.apply"):
             return self._apply_fused(
                 (per_kp, scalars), self._slot_ids, attempted,
                 has_mp, frame, prev_kf, rec.time, slam_io,
+                stale_parallax=stale,
             )
 
     @property
@@ -613,7 +627,35 @@ class FrontEnd:
         ]
         self.inflight.clear()
         self._carry = None
+        self._stale_kf_fids = set()
         return replay
+
+    def adopt_keyframe_carry(self, kf_carry, pre_carry):
+        """Graft an async keyframe program's output onto the speculated tip
+        (speculate_keyframes): new detections (caught up to the tip frame
+        by an in-adopt LK pass), 3D promotions and the new prev-KF refs
+        enter the chain device-side; the in-flight dispatches stay. Their
+        keyframe decisions are re-made on host (stale device parallax).
+        Returns the device catch-up mask (per-slot bool; failures must be
+        removed from the host's current frame at drain time), or None if
+        there is no live carry to adopt into."""
+        from ..ops.track_step import carry_adopt_kf
+
+        if self._carry is None:
+            return None
+        p = self.params
+        self._carry, caught = carry_adopt_kf(
+            self._carry, kf_carry, pre_carry["kp"],
+            levels=p.pyramid_levels, window=p.window_size,
+            iters=p.lk_iterations, eps=p.lk_epsilon,
+            eig_thresh=p.lk_eigenvalue_threshold, pad=self._pad,
+        )
+        self._stale_kf_fids = {r.fid for r in self.inflight}
+        self._adopt_tip_fid = (
+            self.inflight[-1].fid if self.inflight else -1
+        )
+        self._n_kf_adopts += 1
+        return caught
 
     def pipeline_stop(self):
         self.inflight.clear()
@@ -621,6 +663,8 @@ class FrontEnd:
         self._slot_ids = []
         self._slot_has_mp = np.zeros(0, bool)
         self._last_dispatch_time = -1.0
+        self._stale_kf_fids = set()
+        self._adopt_tip_fid = -1
 
     def adopt_pyramid(self, rec: InflightFrame):
         """Make the applied frame's device pyramid current (keyframe

@@ -90,6 +90,11 @@ class PendingKeyframe:
     tri_cand: object       # (cap,) bool — stereo-promotion candidates
     group_data: list       # temporal observer groups (kfid, rel, rel_inv)
     free_list: object      # (cap,) int — detection admission slots
+    # speculate_keyframes: device (cap,) bool — new detections that the
+    # in-adopt catch-up LK carried to the speculated tip. Failures are
+    # removed from the current frame at apply time (the clone keeps the
+    # keyframe observation).
+    adopt_caught: object = None
 
 
 class Mapper:
@@ -478,6 +483,18 @@ class Mapper:
                 new_keyframe, per_slot, ids_full, pending.tri_cand,
                 pending.group_data, cap,
             )
+
+            # speculate_keyframes: new detections whose catch-up LK to the
+            # speculated tip failed are no longer tracked — drop them from
+            # the CURRENT frame (the keyframe clone keeps the observation,
+            # like any post-KF tracking loss; front_end.jl:184-218).
+            if pending.adopt_caught is not None and n_new:
+                caught = np.asarray(jax.device_get(pending.adopt_caught))
+                for j in det_slots:
+                    kpid = slot_ids[j]
+                    if kpid is not None and not caught[j]:
+                        mm.remove_obs_from_current_frame(kpid)
+                        slot_ids[j] = None
 
         # Bad-initialization reset checks (mapper.jl:104-116).
         if self.params.vision_initialized:

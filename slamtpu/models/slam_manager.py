@@ -139,7 +139,10 @@ class SlamManager:
             # discarding + replaying the new dispatch against the
             # pre-keyframe carry. Checks the whole in-flight window — at
             # depth 3 the keyframe can sit behind a tracked frame.
+            # speculate_keyframes makes the drain unnecessary: keyframes
+            # are grafted onto the speculated chain instead of replayed.
             while (fe.inflight and fe.pipeline_active
+                   and not self.params.speculate_keyframes
                    and any(fe.predict_kf(r.fid) for r in fe.inflight)):
                 self._pipeline_apply_one()
             # Pre-dispatch drain to depth-1 (equivalent to the post-dispatch
@@ -253,6 +256,33 @@ class SlamManager:
 
         if is_kf_required:
             fe.note_kf(rec.fid)
+            # Speculate THROUGH the keyframe (params.speculate_keyframes):
+            # keep the in-flight dispatches, chain the keyframe program off
+            # this frame's carry, and graft its output onto the speculated
+            # tip device-side. Falls back to discard+replay when this
+            # keyframe's carry itself predates a previous keyframe's
+            # detections (fid <= the last adopt's dispatch tip).
+            use_fused_kf_spec = (
+                self.params.fused_keyframe and self.params.stereo
+                and rec.right_dev is not None
+                and not self.params.do_local_matching
+            )
+            if (self.params.speculate_keyframes and use_fused_kf_spec
+                    and self.params.async_keyframe and fe.pipeline_active
+                    and fe._carry is not None
+                    and rec.fid > fe._adopt_tip_fid):
+                if isinstance(rec.right_dev, np.ndarray):
+                    rec.right_dev = self._to_device_image(rec.right_dev)
+                fe.adopt_pyramid(rec)
+                new_kf_carry, self._pending_kf = (
+                    self.mapper.dispatch_async_keyframe(
+                        rec.carry_after, rec.right_dev, fe._slot_ids
+                    )
+                )
+                self._pending_kf.adopt_caught = fe.adopt_keyframe_carry(
+                    new_kf_carry, rec.carry_after
+                )
+                return
         # The carry beyond this frame was computed against stale state.
         replay = fe.pipeline_discard()
         fe.adopt_pyramid(rec)

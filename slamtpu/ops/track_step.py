@@ -332,3 +332,91 @@ def carry_merge(carry, host_kp, host_misc):
         ]
     )
     return {"pyr": carry["pyr"], "kp": kp_new, "misc": misc_new}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "window", "iters", "eps", "eig_thresh", "pad"),
+)
+def carry_adopt_kf(carry, kf_carry, pre_kp, *, levels, window, iters,
+                   eps, eig_thresh, pad):
+    """Graft a keyframe program's output onto the speculated tip carry
+    WITHOUT discarding the in-flight dispatches (params.speculate_keyframes).
+
+    `carry` is the tip of the speculated chain (frames dispatched past the
+    keyframe), `kf_carry` is keyframe_step_carry's output (branched off the
+    keyframe frame's carry), `pre_kp` is the kp table both chains branched
+    from (identifies the slots the keyframe program filled).
+
+    Ownership split (mirrors carry_merge):
+      - slots the keyframe FILLED (invalid before, valid after): their
+        detection pixel is at the KEYFRAME frame, 1-3 frames behind the
+        tip — a catch-up LK pass (keyframe pyramid -> tip pyramid, full
+        cascade, no prior) moves them to the tip frame. Without it the
+        next track step would sample the detection position in the WRONG
+        image and silently re-anchor the keypoint onto whatever content
+        is there now (measured: ATE 0.028 -> 0.080 on the 30-frame CPU
+        check). Catch-up failures are dropped — the reference's mapper
+        lag loses late detections the same way (mapper.jl:37-140);
+      - existing slots: pixel from the speculated chain (it tracked them
+        past the keyframe), map position / prev-KF observation refs /
+        3D + join flags from kf_carry (stereo promotions, new KF refs);
+      - validity is the AND of both views;
+      - misc: prev-KF pose + 5pt gate from kf_carry, pose/velocity
+        recurrence from the speculated chain.
+    """
+    from .lucas_kanade import lk_flow
+
+    kp = carry["kp"]
+    kfkp = kf_carry["kp"]
+    flags_dev = kp[:, TK_FLAGS].astype(jnp.int32)
+    flags_kf = kfkp[:, TK_FLAGS].astype(jnp.int32)
+    flags_pre = pre_kp[:, TK_FLAGS].astype(jnp.int32)
+    new_slot = ((flags_pre & FL_VALID) == 0) & ((flags_kf & FL_VALID) > 0)
+    valid = (flags_dev & FL_VALID) & (flags_kf & FL_VALID)
+    flags_merged = (flags_kf & ~FL_VALID) | valid
+
+    # Catch-up LK for the freshly detected slots only: keyframe pyramid ->
+    # tip pyramid, zero prior (displacement over 1-3 frames fits the full
+    # pyramid range).
+    det_px = kfkp[:, TK_PX]
+    flow, caught = lk_flow(
+        kf_carry["pyr"], carry["pyr"], det_px,
+        jnp.zeros_like(det_px), new_slot,
+        levels=levels, window=window, iters=iters, eps=eps,
+        eig_thresh=eig_thresh, pad=pad,
+    )
+    new_px = det_px + flow
+    new_flags = jnp.where(
+        caught, flags_kf, flags_kf & ~FL_VALID
+    ).astype(jnp.float32)[:, None]
+    new_rows = jnp.concatenate(
+        [new_px, kfkp[:, TK_MP], kfkp[:, TK_PREV_UND],
+         kfkp[:, TK_PREV_BEAR], new_flags], axis=-1,
+    )
+
+    merged = jnp.concatenate(
+        [
+            kp[:, TK_PX],
+            kfkp[:, TK_MP],
+            kfkp[:, TK_PREV_UND],
+            kfkp[:, TK_PREV_BEAR],
+            flags_merged.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+    kp_new = jnp.where(new_slot[:, None], new_rows, merged)
+    misc = carry["misc"]
+    kf_misc = kf_carry["misc"]
+    misc_new = jnp.concatenate(
+        [
+            kf_misc[MS_PREV_KF_CW],
+            misc[MS_WC],
+            misc[MS_VEL],
+            jnp.stack([kf_misc[MS_APPLY_5PT], misc[MS_HAS_PREV]]),
+            misc[MS_INTRINSICS],
+            misc[MS_DISTORTION],
+        ]
+    )
+    caught_mask = jnp.where(new_slot, caught, True)
+    return {"pyr": carry["pyr"], "kp": kp_new, "misc": misc_new}, caught_mask

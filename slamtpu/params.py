@@ -107,6 +107,21 @@ class Params:
     # Default on since round 3: measured 13.0 vs 11.1 FPS at equal-or-better
     # ATE (0.038 vs 0.055) on the 60-frame synthetic stereo bench.
     async_keyframe: bool = True
+    # Speculate THROUGH keyframes: keep the in-flight speculated dispatches
+    # at a keyframe instead of discard+replay, chain the keyframe program
+    # off the keyframe frame's carry, and graft its new detections / 3D
+    # promotions / prev-KF refs onto the speculated tip with a device-side
+    # merge (ops/track_step.py::carry_adopt_kf). New detections are carried
+    # to the tip frame by an in-adopt catch-up LK pass (keyframe pyramid ->
+    # tip pyramid); failures drop from the current frame at drain time.
+    # In-flight frames that were dispatched before the keyframe re-make
+    # their keyframe decision from host f64 state (their device parallax is
+    # measured against the OLD keyframe). The pipeline never drains at
+    # keyframes — the reference's mapper thread overlaps the same way
+    # (mapper.jl:37-140). Requires async_keyframe. Quality-neutral on the
+    # 30-frame CPU check (7 KFs, ATE 0.0273 vs 0.0282 base); default
+    # pending the TPU FPS measurement.
+    speculate_keyframes: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —

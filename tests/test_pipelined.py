@@ -138,6 +138,71 @@ def test_async_keyframe_parity():
     assert n3d_a > 50 and n3d_s > 50
 
 
+def _run_kf_decisions(scene, **overrides):
+    """Run a scene recording every keyframe decision (fid, verdict);
+    returns (sm, params, est, gt, kf_fids)."""
+    from slamtpu.models.front_end import FrontEnd
+
+    rows = []
+    orig = FrontEnd.check_new_kf_required
+
+    def hook(self, median_parallax=None):
+        out = orig(self, median_parallax)
+        if self.params.vision_initialized:
+            rows.append((self.current_frame.id, bool(out)))
+        return out
+
+    FrontEnd.check_new_kf_required = hook
+    try:
+        sm, params, est, gt = _run(scene, pipelined=True, **overrides)
+    finally:
+        FrontEnd.check_new_kf_required = orig
+    return sm, params, est, gt, [fid for fid, d in rows if d]
+
+
+@pytest.mark.slow
+def test_keyframe_decision_parity_async_vs_sync():
+    """Decision-level cadence parity (VERDICT r3): the async keyframe path
+    (keyframe program chained off the carry, host f64 gates one frame
+    behind) must produce the IDENTICAL keyframe fid sequence as the
+    synchronous fused path — not merely a count within a tolerance. The
+    f32 TPU/CPU cadence gap this guards against was root-caused to bf16
+    matmul noise (PERF.md round 4); on one backend the two scheduling
+    modes must agree exactly."""
+    scene = make_scene(n_frames=14, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    _, p_a, est_a, gt, kf_a = _run_kf_decisions(scene, async_keyframe=True)
+    _, p_s, est_s, _, kf_s = _run_kf_decisions(scene, async_keyframe=False)
+    assert not p_a.reset_required and not p_s.reset_required
+    assert len(est_a) == len(gt) and len(est_s) == len(gt)
+    assert kf_a == kf_s, f"async {kf_a} vs sync {kf_s}"
+
+
+@pytest.mark.slow
+def test_speculate_keyframes_parity():
+    """Speculating THROUGH keyframes (no pipeline drain at a keyframe; the
+    keyframe program's output is grafted onto the speculated tip via
+    carry_adopt_kf) must keep the trajectory and cadence: new detections
+    start 1-2 frames stale — the reference's own mapper-thread lag
+    (mapper.jl:37-140)."""
+    scene = make_scene(n_frames=14, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+    sm_b, p_b, est_b, gt, kf_b = _run_kf_decisions(
+        scene, speculate_keyframes=False)
+    sm_x, p_x, est_x, _, kf_x = _run_kf_decisions(
+        scene, speculate_keyframes=True)
+    assert not p_b.reset_required and not p_x.reset_required
+    assert len(est_b) == len(gt) and len(est_x) == len(gt)
+    total = np.linalg.norm(gt[-1] - gt[0])
+    err_b = ate_rmse(est_b.astype(np.float64), gt, align_scale=False)
+    err_x = ate_rmse(est_x.astype(np.float64), gt, align_scale=False)
+    assert err_b < 0.15 * total
+    assert err_x < 0.15 * total
+    assert abs(len(kf_x) - len(kf_b)) <= 2, f"{kf_x} vs {kf_b}"
+    # Speculation actually engaged at least once (not a silent fallback).
+    assert sm_x.front_end._n_kf_adopts > 0
+
+
 @pytest.mark.slow
 def test_async_keyframe_reset_recovery():
     """Tracking collapse with the async keyframe path live: the reset
