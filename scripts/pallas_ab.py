@@ -29,16 +29,12 @@ import jax.numpy as jnp
 
 CAPTURE = "/tmp/pallas_ab_args.pkl"
 
+# Surviving kernels only (round-4 matrix results in PERF.md; the eight
+# losing kernels — pyr/lk/scalar/eig/p3p/pnp/dlt/solve — were deleted).
+# "base" = production defaults (detect Pallas + DMA gather ON on TPU).
 GATES = {
-    "pyr": {"SLAMTPU_PALLAS_PYR": "1"},
-    "lk": {"SLAMTPU_PALLAS_LK": "1"},
-    "scalar": {"SLAMTPU_PALLAS_SCALAR": "1"},
-    "eig": {"SLAMTPU_PALLAS_EIG": "1"},
-    "p3p": {"SLAMTPU_PALLAS_P3P": "1"},
-    "pnp": {"SLAMTPU_PALLAS_PNP": "1"},
-    "detect": {"SLAMTPU_PALLAS_DETECT": "1"},
-    "dlt": {"SLAMTPU_PALLAS_DLT": "1"},
-    "solve": {"SLAMTPU_PALLAS_SOLVE": "1"},
+    "nodetect": {"SLAMTPU_NO_PALLAS_DETECT": "1"},
+    "nodma": {"SLAMTPU_NO_DMA_GATHER": "1"},
 }
 ALL_KEYS = sorted({k for g in GATES.values() for k in g})
 
@@ -100,8 +96,12 @@ def _set_env(gates):
 
 
 def _time_call(fn, reps=6):
+    """fn must return ONLY what production fetches (per_kp/scalars etc.) —
+    device_get of the full carry ships the whole pyramid over the tunnel
+    (~1 s) and swamps the exec time. device_get is the only real sync on
+    this backend (block_until_ready is a no-op; PERF.md round 2)."""
     t0 = time.perf_counter()
-    out = jax.device_get(fn())
+    jax.device_get(fn())
     first = time.perf_counter() - t0
     ts = []
     for _ in range(reps):
@@ -146,14 +146,14 @@ def run(configs):
         row = {}
         try:
             ms, first = _time_call(
-                lambda: ts_mod.track_step(*t_args_d, **t_kw))
+                lambda: ts_mod.track_step(*t_args_d, **t_kw)[1:])
             row["track_ms"] = round(ms, 2)
             row["track_compile_s"] = round(first, 1)
         except Exception as e:  # noqa: BLE001
             row["track_ms"] = f"FAIL: {type(e).__name__}: {e}"[:120]
         try:
             ms, first = _time_call(
-                lambda: ks_mod.keyframe_step_carry(*k_args_d, **k_kw))
+                lambda: ks_mod.keyframe_step_carry(*k_args_d, **k_kw)[1:])
             row["kf_ms"] = round(ms, 2)
             row["kf_compile_s"] = round(first, 1)
         except Exception as e:  # noqa: BLE001

@@ -171,14 +171,10 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
         )
         rhs = rhs * free_flat
         k_free = min(6 * FREE_CAP, n6)
-        from .scalar_pallas import solve_psd_pallas, use_pallas_solve
-
-        if use_pallas_solve():
-            # One VMEM launch instead of ~4*k serialized XLA ops per LM
-            # iteration (SLAMTPU_PALLAS_SOLVE=1).
-            dp_free = solve_psd_pallas(S[:k_free, :k_free], rhs[:k_free])
-        else:
-            dp_free = solve_psd(S[:k_free, :k_free], rhs[:k_free])
+        # A Pallas Cholesky kernel existed behind SLAMTPU_PALLAS_SOLVE but
+        # measured ~neutral on device (round-4 A/B: BA 102.9 vs 108.5 ms)
+        # and was deleted.
+        dp_free = solve_psd(S[:k_free, :k_free], rhs[:k_free])
         dp = jnp.zeros((n6,), jnp.float32).at[:k_free].set(dp_free)
 
         dx = jnp.einsum(

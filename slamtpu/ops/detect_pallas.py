@@ -38,10 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def use_detect_pallas() -> bool:
-    """Trace-time switch (TPU only; default off until the on-device A/B)."""
+    """Trace-time switch: default ON on TPU backends since the round-4
+    on-device A/B — the fused suppression+NMS kernel cut the keyframe
+    program from 213.7 to 48.3 ms (PERF.md round-4 table). Opt out with
+    SLAMTPU_NO_PALLAS_DETECT=1; SLAMTPU_PALLAS_DETECT=1 forces it on
+    elsewhere (interpret mode covers CPU tests)."""
     if os.environ.get("SLAMTPU_NO_PALLAS_DETECT"):
         return False
-    return bool(os.environ.get("SLAMTPU_PALLAS_DETECT"))
+    if os.environ.get("SLAMTPU_PALLAS_DETECT"):
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _detect_kernel(yx_ref, val_ref, resp_ref, out_ref, occ_ref, *,

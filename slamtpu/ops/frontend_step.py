@@ -61,13 +61,8 @@ def _masked_median(values, mask, iters: int = 24):
     bracketing interval give the median to (range / 2^iters) — far below a
     pixel of parallax — with `iters` cheap counting passes.
     """
-    from .scalar_pallas import masked_median_pallas, use_scalar_pallas
-
-    if use_scalar_pallas():
-        # One Pallas launch instead of `iters` serialized XLA reductions
-        # (SLAMTPU_PALLAS_SCALAR=1).
-        return masked_median_pallas(values, mask, iters=iters)
-
+    # A Pallas bisection kernel existed behind SLAMTPU_PALLAS_SCALAR but
+    # measured neutral on device (round-4 A/B) and was deleted.
     n = jnp.sum(mask)
     big = jnp.float32(jnp.finfo(jnp.float32).max)
     lo = jnp.min(jnp.where(mask, values, big))

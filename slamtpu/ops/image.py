@@ -125,17 +125,10 @@ def lk_pyramid_impl(image, *, levels: int, sigma: float = 1.0, pad: int = 11,
     (e.g. ops/frontend_step.py builds the current frame's pyramid in the
     same program as the tracking step, saving a dispatch round trip).
 
-    SLAMTPU_PALLAS_PYR=1 (TPU backend) swaps in the fused Pallas level
-    kernel (ops/pyramid_pallas.py) — one launch per level instead of ~7
-    per-pass-overhead-bound XLA ops."""
-    if pad == 11:
-        from .pyramid_pallas import lk_pyramid_pallas_impl, use_pallas_pyramid
-
-        if use_pallas_pyramid():
-            return lk_pyramid_pallas_impl(
-                image, levels=levels, sigma=sigma, pad=pad,
-                product_sigma=product_sigma,
-            )
+    A fused Pallas level kernel existed behind SLAMTPU_PALLAS_PYR but
+    measured neutral on device (round-4 A/B: track 47.5 vs 45-49 ms base)
+    and was deleted — the grouped-conv batching below already amortizes
+    the per-pass overhead."""
     image = image.astype(jnp.float32)
     out = []
     current = image

@@ -527,18 +527,10 @@ def _lk_level_patch_lanes(d1, d2, p_lvl, flow, ok, *, hw, window, iters,
 
     ok = ok & eig_ok
 
-    from .lk_pallas_lanes import solver_loop_pallas, use_lanes_pallas
-
-    if use_lanes_pallas():
-        # Fused Pallas solver loop: identical arithmetic, every
-        # per-iteration intermediate VMEM-resident (lk_pallas_lanes.py).
-        # Fixed trip count; min_active's global early exit does not apply.
-        return solver_loop_pallas(
-            img1_w, iy_w, ix_w, mask, patch0, ia, ib, ic, p_f, flow, ok,
-            base0, window=w, hw=hw, pad=pad, iters=iters, eps=eps,
-            margin=R, escape_fail=escape_fail, one_d=False,
-        )
-
+    # A fused Pallas solver-loop kernel existed behind SLAMTPU_PALLAS_LK
+    # but measured neutral on device (round-4 A/B: 55.6 vs 51.9 ms track
+    # — the LK cost is gather/setup bandwidth, not solver iterations;
+    # PERF.md round 3) and was deleted.
     if _fixed_trip_loop():
         # Fixed-trip variant: per-point eps/fail semantics are identical
         # (converged/failed points stop advancing via the masks), only the
@@ -703,18 +695,6 @@ def _lk_level_lanes_1d(d1, d2, p_lvl, flow, ok, *, hw, window, iters, eps,
     ok = ok & eig_ok
     fx0 = flow[:, 1]
 
-    from .lk_pallas_lanes import solver_loop_pallas, use_lanes_pallas
-
-    if use_lanes_pallas():
-        # Fused Pallas solver loop (1D mode: ic carries 1/Gxx, y unused).
-        zeros = jnp.zeros_like(inv_sxx)
-        base2 = jnp.stack([jnp.zeros_like(base0), base0], axis=-1)
-        return solver_loop_pallas(
-            img1_w, img1_w, ix_w, mask, patch0, zeros, zeros, inv_sxx,
-            p_f, flow, ok, base2, window=w, hw=hw, pad=pad, iters=iters,
-            eps=eps, margin=R, escape_fail=escape_fail, one_d=True,
-        )
-
     if _fixed_trip_loop():
         def body_i(it, carry):
             return body((it,) + carry)[1:]
@@ -745,16 +725,6 @@ def _fixed_trip_loop() -> bool:
     return bool(os.environ.get("SLAMTPU_LK_FORI"))
 
 
-def _use_pallas_default() -> bool:
-    # Opt-in while the Mosaic lowering of the per-point VMEM window loads
-    # is being worked out (dynamic lane offsets unsupported).
-    import os
-    if not os.environ.get("SLAMTPU_PALLAS"):
-        return False
-    import jax
-    return jax.default_backend() == "tpu"
-
-
 def _select_level_fn(pad: int, window: int, has_stack: bool,
                      one_d: bool = False):
     """Pick the per-level LK kernel: lane-major patch-cached (default) >
@@ -778,7 +748,7 @@ def _select_level_fn(pad: int, window: int, has_stack: bool,
 
 
 def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
-            iters, eps, eig_thresh, pad, use_pallas=None,
+            iters, eps, eig_thresh, pad,
             min_active: int = 0, escape_fail: bool = False,
             one_d: bool = False):
     """Pyramidal LK for N points (reference optflow!, lucas_kanade.jl:9-100).
@@ -787,46 +757,34 @@ def lk_flow(pyr1, pyr2, points, displacement, valid, *, levels, window,
     displacement: (N, 2) f32 prior in COARSEST-level units.
     Returns (flow_full_res, status): flow at level 0 scale.
 
-    On TPU backends the per-level step runs as a Pallas kernel with the level
-    maps resident in VMEM (slamtpu.ops.lk_pallas); elsewhere (CPU tests) the
-    pure-XLA formulation below is used — identical contract.
+    The per-level step uses the patch-cached lane-major kernel (windows
+    gathered via the Pallas DMA pipeline on TPU, ops/dma_gather.py).
     """
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
     flow = displacement.astype(jnp.float32)
     ok = valid
     for level in range(levels, -1, -1):
         d1, d2 = pyr1[level], pyr2[level]
         hw = pyramid_level_shape(d1, pad)
         p_lvl = jnp.floor(points / (2.0 ** level)).astype(jnp.int32)
-        if use_pallas:
-            from .lk_pallas import lk_level_pallas
+        # Patch-cached variant (default): identical results, no
+        # per-iteration dependent gathers; lane-major layout keeps the
+        # point axis on the 128 TPU lanes. Requires enough image padding
+        # for the (T+1+2*MARGIN) patches.
+        level_fn = _select_level_fn(pad, window, "stack" in d1, one_d)
 
-            flow, ok = lk_level_pallas(
-                d1, d2, p_lvl, flow, ok,
-                hw=hw, window=window, iters=iters, eps=eps,
-                eig_thresh=eig_thresh, pad=pad,
+        # Skip the whole level when no point is alive (e.g. the
+        # failed-prior retry pass is usually empty).
+        def run(args, level_fn=level_fn):
+            f, o = args
+            return level_fn(
+                d1, d2, p_lvl, f, o, hw=hw, window=window, iters=iters,
+                eps=eps, eig_thresh=eig_thresh, pad=pad,
+                min_active=min_active, escape_fail=escape_fail,
             )
-        else:
-            # Patch-cached variant (default): identical results, no
-            # per-iteration dependent gathers; lane-major layout keeps the
-            # point axis on the 128 TPU lanes. Requires enough image padding
-            # for the (T+1+2*MARGIN) patches.
-            level_fn = _select_level_fn(pad, window, "stack" in d1, one_d)
 
-            # Skip the whole level when no point is alive (e.g. the
-            # failed-prior retry pass is usually empty).
-            def run(args, level_fn=level_fn):
-                f, o = args
-                return level_fn(
-                    d1, d2, p_lvl, f, o, hw=hw, window=window, iters=iters,
-                    eps=eps, eig_thresh=eig_thresh, pad=pad,
-                    min_active=min_active, escape_fail=escape_fail,
-                )
-
-            flow, ok = jax.lax.cond(
-                jnp.any(ok), run, lambda args: args, (flow, ok)
-            )
+        flow, ok = jax.lax.cond(
+            jnp.any(ok), run, lambda args: args, (flow, ok)
+        )
         if level > 0:
             flow = flow * 2.0
     return flow, ok

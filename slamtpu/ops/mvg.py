@@ -53,14 +53,8 @@ def triangulate_points(px1, px2, P1, P2):
     P1, P2: (4, 4) or (N, 4, 4) projection matrices (rows 0..2 used).
     Returns (N, 4) homogeneous points (the unit null vectors of A).
     """
-    from .dlt_pallas import triangulate_points_pallas, use_pallas_dlt
-
-    if use_pallas_dlt() and P1.ndim == 2:
-        # Single VMEM-resident launch instead of ~200 serialized XLA ops
-        # (8 inverse iterations x unrolled 4x4 Cholesky) —
-        # SLAMTPU_PALLAS_DLT=1.
-        return triangulate_points_pallas(px1, px2, P1, P2)
-
+    # A Pallas null-vector kernel existed behind SLAMTPU_PALLAS_DLT but
+    # measured neutral on device (round-4 A/B) and was deleted.
     if P1.ndim == 2:
         P1 = jnp.broadcast_to(P1, (px1.shape[0], 4, 4))
     if P2.ndim == 2:

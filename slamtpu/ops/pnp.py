@@ -233,14 +233,10 @@ def p3p_ransac(points3d, pixels_xy, bearings, valid, n, intrinsics, key, *,
 
     M = hypotheses
     idx = sample_valid_indices(key, valid, (M, 3))
-    from .p3p_pallas import p3p_grunert_pallas, use_pallas_p3p
-
-    if use_pallas_p3p():
-        # The whole hypothesis algebra (quartic + triad) in ONE launch
-        # instead of ~160 serialized (M,)-wide ops (SLAMTPU_PALLAS_P3P=1).
-        R, t, ok = p3p_grunert_pallas(points3d[idx], bearings[idx])
-    else:
-        R, t, ok = _p3p_grunert(points3d[idx], bearings[idx])  # (M,4,...)
+    # A Pallas kernel for the hypothesis algebra existed behind
+    # SLAMTPU_PALLAS_P3P but measured neutral on device (round-4 A/B)
+    # and was deleted.
+    R, t, ok = _p3p_grunert(points3d[idx], bearings[idx])  # (M,4,...)
 
     Rf = R.reshape(-1, 3, 3)
     tf = t.reshape(-1, 3)
@@ -393,17 +389,8 @@ def pnp_refine(theta0, points, pixels_yx, valid, intrinsics, *,
     Returns dict: theta (6,), initial_error, final_error, outliers (N,),
     n_outliers.
     """
-    from .pnp_pallas import pnp_refine_pallas, use_pallas_pnp
-
-    if use_pallas_pnp():
-        # Whole two-phase LM in ONE Pallas launch (SLAMTPU_PALLAS_PNP=1):
-        # the fori_loop body here is ~25 serialized XLA ops per iteration.
-        return pnp_refine_pallas(
-            theta0, points, pixels_yx, valid, intrinsics,
-            iters1=iters1, iters2=iters2, repr_eps=repr_eps,
-            depth_eps=depth_eps,
-        )
-
+    # A whole-LM Pallas kernel existed behind SLAMTPU_PALLAS_PNP but
+    # measured neutral on device (round-4 A/B) and was deleted.
     w = valid.astype(jnp.float32)
     r0, _ = _pnp_residuals(theta0, points, pixels_yx, intrinsics)
     initial_error = jnp.sum((r0 * w[:, None]) ** 2)

@@ -30,18 +30,9 @@ def smallest_eigvec_psd(M, iters: int = 8):
     RANSAC scoring / triangulation gates treat the same way the reference
     treats a noisy eigenvector.
     """
+    # A batched Pallas kernel (k <= 12) existed behind SLAMTPU_PALLAS_EIG
+    # but measured neutral on device (round-4 A/B) and was deleted.
     k = M.shape[-1]
-    if k <= 12 and M.ndim >= 3:
-        from .eig_pallas import smallest_eigvec_pallas, use_pallas_eig
-
-        if use_pallas_eig():
-            # One VMEM-resident launch instead of ~30*k serialized XLA ops
-            # (SLAMTPU_PALLAS_EIG=1).
-            lead = M.shape[:-2]
-            flat = M.reshape((-1, k, k))
-            return smallest_eigvec_pallas(flat, iters=iters).reshape(
-                lead + (k,)
-            )
     scale = jnp.maximum(
         jnp.einsum("...ii->...", M) / k, 1e-30
     )  # mean diagonal

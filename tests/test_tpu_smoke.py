@@ -305,62 +305,6 @@ def test_lk_1d_matches_2d_on_device(tpu_backend):
     assert np.median(np.abs(out["1d"][0][both, 1] - (-3.0))) < 0.3
 
 
-def test_fused_pallas_solver_on_device(tpu_backend):
-    """The fused Pallas solver loop (SLAMTPU_PALLAS_LK) must lower through
-    Mosaic and match the XLA loop on the real backend — both 2D and 1D."""
-    import jax
-    import jax.numpy as jnp
-
-    from slamtpu.ops.image import build_lk_pyramid
-    from slamtpu.ops.lucas_kanade import lk_flow, lk_pad
-
-    levels, window = 2, 5
-    pad = lk_pad(window)
-    h, w, n = 96, 128, 64
-    rng = np.random.default_rng(13)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = np.zeros((h, w))
-    centers = []
-    for _ in range(150):
-        cy_, cx_ = rng.uniform(12, h - 12), rng.uniform(12, w - 12)
-        s = rng.uniform(1.2, 2.2)
-        img += rng.uniform(0.4, 1.0) * np.exp(
-            -(((yy - cy_) ** 2) + (xx - cx_) ** 2) / (2 * s * s)
-        )
-        centers.append((cy_, cx_))
-    img = (img / img.max()).astype(np.float32)
-    img2 = np.roll(np.roll(img, 1, 0), -2, 1).astype(np.float32)
-    pts = np.asarray(centers[:n], np.float32)
-
-    pyr1 = build_lk_pyramid(jnp.asarray(img), levels=levels, pad=pad)
-    pyr2 = build_lk_pyramid(jnp.asarray(img2), levels=levels, pad=pad)
-    disp = jnp.zeros((n, 2), jnp.float32)
-    valid = jnp.ones((n,), bool)
-
-    for one_d in (False, True):
-        outs = {}
-        for env_on in (False, True):
-            if env_on:
-                os.environ["SLAMTPU_PALLAS_LK"] = "1"
-            try:
-                flow, ok = jax.device_get(lk_flow(
-                    pyr1, pyr2, jnp.asarray(pts), disp, valid,
-                    levels=levels, window=window, iters=30, eps=1e-2,
-                    eig_thresh=1e-4, pad=pad, one_d=one_d,
-                ))
-            finally:
-                os.environ.pop("SLAMTPU_PALLAS_LK", None)
-            outs[env_on] = (flow, ok)
-        ok_x, ok_p = outs[False][1], outs[True][1]
-        assert (ok_x == ok_p).mean() > 0.9, f"one_d={one_d}"
-        both = ok_x & ok_p
-        assert both.mean() > 0.5
-        err = np.linalg.norm(
-            outs[False][0][both] - outs[True][0][both], axis=-1
-        )
-        assert np.max(err) < 1e-2, f"one_d={one_d}"
-
-
 def test_fused_detect_kernel_on_device(tpu_backend):
     """suppress_and_nms (SLAMTPU_PALLAS_DETECT) vs the XLA scatter +
     dilate + reduce_window tail, bit-exact on the real backend."""
@@ -394,189 +338,3 @@ def test_fused_detect_kernel_on_device(tpu_backend):
         radius=17, min_response=0.01,
     ))
     np.testing.assert_array_equal(out, ref)
-
-
-def test_pallas_pyramid_on_device(tpu_backend):
-    """Fused Pallas pyramid (SLAMTPU_PALLAS_PYR) vs the XLA pyramid on the
-    real backend: compiled Mosaic path (DMA halos, rolls, MXU resize), not
-    the interpreter the CPU parity tests use."""
-    import jax
-    import jax.numpy as jnp
-
-    from slamtpu.ops.image import lk_pyramid_impl
-    from slamtpu.ops.pyramid_pallas import lk_pyramid_pallas_impl
-
-    rng = np.random.default_rng(11)
-    img = jnp.asarray(rng.uniform(0, 1, (120, 200)).astype(np.float32))
-    # Oracle: the XLA pyramid on CPU (exact f32 convs). The XLA pyramid ON
-    # THE TPU is the wrong side of this comparison — its convs ride the MXU
-    # at default (bf16) precision and carry ~3e-3 gradient error; the
-    # Pallas kernel's pure-VPU arithmetic is bit-exact vs CPU f32
-    # (measured 2026-08-18).
-    want = jax.device_get(
-        jax.jit(lambda x: lk_pyramid_impl(x, levels=3), backend="cpu")(img)
-    )
-    got = jax.device_get(
-        jax.jit(
-            lambda x: lk_pyramid_pallas_impl(x, levels=3, interpret=False)
-        )(img)
-    )
-    for lvl in range(4):
-        gs, ws = got[lvl]["stack"], want[lvl]["stack"]
-        assert gs.shape == ws.shape
-        scale = max(1.0, float(np.abs(ws).max()))
-        tol = 5e-6 if lvl == 0 else 1e-4
-        assert np.abs(gs - ws).max() < tol * scale, lvl
-
-
-def test_pallas_pnp_on_device(tpu_backend):
-    """Fused Pallas PnP LM (SLAMTPU_PALLAS_PNP) vs the XLA two-phase loop on
-    the real backend: compiled Mosaic path (scalar Cholesky, MXU normal
-    equations), not the interpreter the CPU parity tests use."""
-    import jax
-    import jax.numpy as jnp
-
-    from slamtpu.ops.pnp import pnp_refine
-    from slamtpu.ops.pnp_pallas import pnp_refine_pallas
-    from test_pnp_pallas import _problem
-
-    th0, pts, px, valid, intr, _ = _problem(5)
-    args = (jnp.asarray(th0), jnp.asarray(pts), jnp.asarray(px),
-            jnp.asarray(valid), jnp.asarray(intr))
-    # Oracle: the XLA loop on CPU (exact f32). The TPU XLA loop's jacfwd/
-    # normal-equation matmuls ride the MXU at bf16 default precision and
-    # its LM path can diverge measurably (same finding as the pyramid and
-    # DLT kernels, 2026-08-18).
-    want = jax.device_get(jax.jit(pnp_refine, backend="cpu")(*args))
-    got = jax.device_get(jax.jit(
-        lambda *a: pnp_refine_pallas(*a, interpret=False)
-    )(*args))
-    np.testing.assert_array_equal(got["outliers"], want["outliers"])
-    np.testing.assert_allclose(got["theta"], want["theta"], atol=5e-4)
-
-
-def test_pallas_median_on_device(tpu_backend):
-    """masked_median_pallas (SLAMTPU_PALLAS_SCALAR) vs the XLA bisection
-    on the real backend."""
-    import jax.numpy as jnp
-
-    from slamtpu.ops.frontend_step import _masked_median
-    from slamtpu.ops.scalar_pallas import masked_median_pallas
-
-    rng = np.random.default_rng(4)
-    v = jnp.asarray(rng.normal(0, 20, 1024).astype(np.float32))
-    m = jnp.asarray(rng.uniform(size=1024) > 0.4)
-    want = float(_masked_median(v, m))
-    got = float(masked_median_pallas(v, m, interpret=False))
-    assert abs(got - want) < 1e-4 * (1.0 + abs(want))
-
-
-def test_pallas_dlt_on_device(tpu_backend):
-    """triangulate_points_pallas (SLAMTPU_PALLAS_DLT) vs the XLA DLT on the
-    real backend (compiled Mosaic path, not the interpreter)."""
-    import jax.numpy as jnp
-
-    from slamtpu.ops.dlt_pallas import triangulate_points_pallas
-    from slamtpu.ops.mvg import triangulate_points
-
-    rng = np.random.default_rng(5)
-    n = 256
-    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-2, 2, n),
-                    rng.uniform(5, 25, n)], axis=-1)
-    P1 = np.eye(4, dtype=np.float32)
-    P2m = np.eye(4, dtype=np.float32)
-    P2m[:3, 3] = [0.5, 0.05, 0.02]
-    def proj(P, X):
-        pc = X @ P[:3, :3].T + P[:3, 3]
-        return (pc[:, :2] / pc[:, 2:3]).astype(np.float32)
-    a1 = jnp.asarray(proj(P1, pts))
-    a2 = jnp.asarray(proj(P2m, pts))
-    # Oracle: the XLA DLT on CPU. On the TPU the XLA path's A^T A /
-    # inverse-iteration algebra picks up bf16 MXU error (measured up to
-    # 0.66 per point on a KITTI-like geometry, 2026-08-18) while the
-    # Pallas kernel's pure-VPU arithmetic tracks CPU f32 to ~7e-5.
-    import jax
-
-    want = np.asarray(jax.jit(triangulate_points, backend="cpu")(
-        a1, a2, jnp.asarray(P1), jnp.asarray(P2m)
-    ))
-    got = np.asarray(triangulate_points_pallas(
-        a1, a2, jnp.asarray(P1), jnp.asarray(P2m), interpret=False
-    ))
-    w_w = np.where(np.abs(want[:, 3:]) < 1e-12, 1e-12, want[:, 3:])
-    g_w = np.where(np.abs(got[:, 3:]) < 1e-12, 1e-12, got[:, 3:])
-    np.testing.assert_allclose(
-        got[:, :3] / g_w, want[:, :3] / w_w, rtol=0, atol=2e-3
-    )
-
-
-def test_pallas_eig_on_device(tpu_backend):
-    """smallest_eigvec_pallas (SLAMTPU_PALLAS_EIG) vs the XLA inverse
-    iteration on the real backend (k=9, the essential-RANSAC system)."""
-    import jax.numpy as jnp
-
-    from slamtpu.ops.eig_pallas import smallest_eigvec_pallas
-    from slamtpu.ops.smallalg import smallest_eigvec_psd
-
-    rng = np.random.default_rng(9)
-    k, n = 9, 128
-    Q, _ = np.linalg.qr(rng.normal(size=(n, k, k)))
-    lam = np.concatenate(
-        [np.full((n, 1), 1e-6), rng.uniform(0.5, 3.0, (n, k - 1))], axis=-1
-    )
-    M = np.einsum("nik,nk,njk->nij", Q, lam, Q).astype(np.float32)
-    Mj = jnp.asarray(M)
-    want = np.asarray(smallest_eigvec_psd(Mj))
-    got = np.asarray(smallest_eigvec_pallas(Mj, interpret=False))
-    sign = np.sign(np.sum(got * want, axis=-1, keepdims=True))
-    np.testing.assert_allclose(got * sign, want, rtol=0, atol=2e-3)
-
-
-def test_pallas_solve_on_device(tpu_backend):
-    """solve_psd_pallas (SLAMTPU_PALLAS_SOLVE) vs the XLA unrolled Cholesky
-    on the real backend at the BA pose-system size."""
-    import jax.numpy as jnp
-
-    from slamtpu.ops.scalar_pallas import solve_psd_pallas
-    from slamtpu.ops.smallalg import solve_psd
-
-    rng = np.random.default_rng(14)
-    k = 48
-    Q = rng.normal(size=(k, k)).astype(np.float32)
-    A = Q @ Q.T + k * np.eye(k, dtype=np.float32)
-    b = rng.normal(size=k).astype(np.float32)
-    want = np.asarray(solve_psd(jnp.asarray(A), jnp.asarray(b)))
-    got = np.asarray(solve_psd_pallas(
-        jnp.asarray(A), jnp.asarray(b), interpret=False
-    ))
-    np.testing.assert_allclose(
-        got, want, rtol=0, atol=5e-4 * (1.0 + np.abs(want).max())
-    )
-
-
-def test_pallas_p3p_on_device(tpu_backend):
-    """p3p_grunert_pallas (SLAMTPU_PALLAS_P3P) vs _p3p_grunert on the real
-    backend: the true pose must be among the valid candidates of both."""
-    import jax.numpy as jnp
-
-    from slamtpu.hostmath import rot_zyx as host_rot
-    from slamtpu.ops.p3p_pallas import p3p_grunert_pallas
-    from slamtpu.ops.pnp import _p3p_grunert
-
-    rng = np.random.default_rng(22)
-    m = 64
-    X = np.stack([
-        rng.uniform(-3, 3, (m, 3)),
-        rng.uniform(-2, 2, (m, 3)),
-        rng.uniform(6, 20, (m, 3)),
-    ], axis=-1).astype(np.float32)
-    th = np.concatenate([rng.normal(0, 0.3, 3), [0.2, -0.1, 0.4]])
-    R_true = host_rot(th[:3])
-    Y = X @ R_true.T + th[3:]
-    f = (Y / np.linalg.norm(Y, axis=-1, keepdims=True)).astype(np.float32)
-    Rp, tp, okp = map(np.asarray, p3p_grunert_pallas(
-        jnp.asarray(X), jnp.asarray(f), interpret=False
-    ))
-    dR = np.abs(Rp - R_true[None, None]).max(axis=(-1, -2))
-    dt = np.abs(tp - th[3:][None, None]).max(axis=-1)
-    assert np.mean(((dR < 5e-3) & (dt < 5e-2) & okp).any(axis=1)) > 0.9
