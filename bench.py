@@ -178,9 +178,12 @@ def run_once(loaded, stereo: bool, threaded: bool) -> dict:
            "n_keyframes": sm.map_manager.nb_keyframes, "scene": name}
     if gt is not None and len(saver.trajectory_xyz()) == len(gt):
         try:
+            # Monocular trajectories have gauge freedom in scale (the
+            # bootstrap guesses it from the motion model) — align it, as
+            # standard for mono ATE. Stereo/metric runs stay unaligned.
             out["ate_rmse_m"] = round(
                 ate_rmse(saver.trajectory_xyz().astype(np.float64), gt,
-                         align_scale=False), 4)
+                         align_scale=not stereo), 4)
         except Exception:
             pass
     out["removal_causes"] = dict(sm.front_end.removal_counts)

@@ -118,9 +118,15 @@ class Params:
     # their keyframe decision from host f64 state (their device parallax is
     # measured against the OLD keyframe). The pipeline never drains at
     # keyframes — the reference's mapper thread overlaps the same way
-    # (mapper.jl:37-140). Requires async_keyframe. Quality-neutral on the
-    # 30-frame CPU check (7 KFs, ATE 0.0273 vs 0.0282 base); default
-    # pending the TPU FPS measurement.
+    # (mapper.jl:37-140). Requires async_keyframe.
+    # Measured (PERF.md round 4): ATE improves (0.0303 vs 0.0332, 11 vs 12
+    # KFs) but FPS REGRESSES 19.6 -> 13.9 on the tunnel backend — the
+    # single device stream executes the keyframe program BEHIND the
+    # already-queued speculated track steps, so the keyframe drain syncs
+    # on the whole chain (kf fetch 39 -> 135 ms steady). The default
+    # predict-drain path schedules the keyframe program first, which is
+    # optimal on a FIFO device queue; speculation would need a second
+    # compute stream. Default off.
     speculate_keyframes: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
