@@ -29,6 +29,54 @@ def run_scene(params, scene, n=None, saver=None):
 
 
 @pytest.mark.slow
+def test_production_detect_kernel_e2e():
+    """The shipped TPU configuration (fused Pallas detection kernel,
+    default-on for TPU backends) must produce the IDENTICAL keyframe
+    sequence and trajectory as the XLA detection tail when run end-to-end
+    — the kernel is bit-exact on the {0,1} occupancy algebra (unit parity
+    in test_detect_pallas.py; this guards the integration). Runs the
+    Pallas path in interpreter mode on CPU (trace-time gate, so the jit
+    caches must be cleared around the env flip)."""
+    import os
+
+    import jax
+
+    from slamtpu.eval.ate import ate_rmse
+
+    scene = make_scene(n_frames=10, height=160, width=224, n_points=900,
+                       stereo=True, baseline=0.5, seed=9)
+
+    def run(env):
+        for k, v in env.items():
+            os.environ[k] = v
+        jax.clear_caches()
+        try:
+            saver = ReplaySaver()
+            params = Params(
+                stereo=True, max_nb_keypoints=400, max_distance=24,
+                keypoint_capacity=512, initial_parallax=8.0,
+                sequential=True,
+            )
+            sm = run_scene(params, scene, saver=saver)
+            return sm, saver.trajectory_xyz()
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+            jax.clear_caches()
+
+    sm_x, est_x = run({"SLAMTPU_NO_PALLAS_DETECT": "1"})
+    sm_p, est_p = run({"SLAMTPU_PALLAS_DETECT": "1"})
+    kf_x = sorted(f.id for f in sm_x.map_manager.frames_map.values())
+    kf_p = sorted(f.id for f in sm_p.map_manager.frames_map.values())
+    assert kf_x == kf_p
+    np.testing.assert_allclose(est_x, est_p, atol=1e-6)
+    gt = np.stack([p[:3, 3] for p in scene.poses_wc])
+    total = np.linalg.norm(gt[-1] - gt[0])
+    assert ate_rmse(est_p.astype(np.float64), gt,
+                    align_scale=False) < 0.15 * total
+
+
+@pytest.mark.slow
 def test_local_matching_and_descriptors():
     scene = make_scene(n_frames=10, height=160, width=224, n_points=900,
                        stereo=True, baseline=0.5, seed=9)
