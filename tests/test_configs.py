@@ -47,3 +47,17 @@ def test_extraction_respects_budget():
     sm = SlamManager(params, scene.camera)
     sm.add_image(scene.frame(0)[0], 0.0)
     assert sm.current_frame.nb_keypoints <= 100
+
+
+def test_f32_matmul_precision_default():
+    """Constructing a SlamManager must pin jax_default_matmul_precision to
+    f32 (utils/jaxcache.py). The backend's default bf16 matmul passes add
+    ~1 px reprojection noise against the 3 px outlier gate, double the
+    keyframe cadence, and regress ATE (PERF.md round 4) — this guards the
+    production numeric configuration against accidental rollback."""
+    import jax
+
+    from slamtpu import Camera, Params, SlamManager
+
+    SlamManager(Params(), Camera(100.0, 100.0, 32.0, 32.0, 64, 64))
+    assert jax.config.jax_default_matmul_precision == "float32"
