@@ -21,8 +21,15 @@ if os.environ.get("DIAG_CPU"):
     jax.config.update("jax_platforms", "cpu")
 if os.environ.get("DIAG_MM_PRECISION"):  # e.g. "float32", "tensorfloat32"
     import jax
-    jax.config.update("jax_default_matmul_precision",
-                      os.environ["DIAG_MM_PRECISION"])
+    prec = os.environ["DIAG_MM_PRECISION"]
+    jax.config.update("jax_default_matmul_precision", prec)
+    # SlamManager.__init__ -> enable_compilation_cache() re-applies the
+    # SLAMTPU_MM_PRECISION default (float32) on top of whatever we set
+    # here; forward the knob so the A/B actually measures `prec`.
+    # jaxcache spells bf16-passes-allowed as "default".
+    os.environ["SLAMTPU_MM_PRECISION"] = (
+        "default" if prec in ("bfloat16", "default") else prec
+    )
 
 import numpy as np
 

@@ -7,7 +7,7 @@ each config flips the env and jax.clear_caches() to force a retrace.
 
 Usage:
     python scripts/pallas_ab.py capture          # run 18 frames, stash args
-    python scripts/pallas_ab.py run base pyr lk ...   # time configs
+    python scripts/pallas_ab.py run base nodetect nodma   # time configs
     python scripts/pallas_ab.py run all
 Outputs one line per (config, program): exec wall ms (min of reps) +
 first-call (compile) seconds.
@@ -133,6 +133,11 @@ def run(configs):
 
     results = {}
     for name in configs:
+        if name != "base" and name not in GATES:
+            raise SystemExit(
+                f"unknown config {name!r}; valid: base, "
+                + ", ".join(sorted(GATES))
+            )
         gates = {} if name == "base" else GATES[name]
         _set_env(gates)
         jax.clear_caches()
@@ -158,7 +163,9 @@ def run(configs):
             row["kf_compile_s"] = round(first, 1)
         except Exception as e:  # noqa: BLE001
             row["kf_ms"] = f"FAIL: {type(e).__name__}: {e}"[:120]
-        if name in ("base", "solve", "eig", "scalar"):
+        # BA has no surviving gated kernel variants — time it once under
+        # base as the cross-run anchor.
+        if name == "base":
             ba = {k: jnp.asarray(v) for k, v in ba_np.items()}
             try:
                 ms, first = _time_call(lambda: local_bundle_adjustment(

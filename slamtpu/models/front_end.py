@@ -393,7 +393,12 @@ class FrontEnd:
             if norm_t > 1e-12:
                 t = scale * t / norm_t
             pose_5pt = hm.rt_to_4x4(R, t) @ prev_cw
-            if mm.nb_keyframes > 2:
+            # A stale frame's device (R, t) was estimated against the OLD
+            # keyframe; after a speculative adopt, prev_kf here is the NEW
+            # one — composing them would mix reference frames. Skip the
+            # fallback pose; the motion-model prediction (or the P3P result
+            # below, whose scalars carry a full world pose) stands instead.
+            if mm.nb_keyframes > 2 and not stale_parallax:
                 frame.set_cw(pose_5pt, slam_io)
 
         # 3. P3P + PnP refinement application (front_end.jl:168-218).
@@ -628,6 +633,9 @@ class FrontEnd:
         self.inflight.clear()
         self._carry = None
         self._stale_kf_fids = set()
+        # The replayed dispatches will run against a freshly resynced carry
+        # (start_pipeline), so they no longer predate the last adopt.
+        self._adopt_tip_fid = -1
         return replay
 
     def adopt_keyframe_carry(self, kf_carry, pre_carry):
