@@ -10,6 +10,7 @@ with the same outlier-pruning cascade (:268-306).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -19,6 +20,7 @@ import jax.numpy as jnp
 from ..ops.ba import local_bundle_adjustment
 from ..params import Params
 from ..utils.padding import next_bucket
+from ..utils.prefetch import DevicePrefetch
 from ..utils.profiling import TIMERS
 from .frame import Frame
 from .map_manager import MapManager
@@ -74,7 +76,11 @@ class Estimator:
         cache, res_dev, kfid, n_poses, n_points, n_obs = self._pending
         self._pending = None
         try:
-            res = jax.device_get(res_dev)
+            with TIMERS.stage("es.ba_fetch"):
+                res = (
+                    res_dev.get() if isinstance(res_dev, DevicePrefetch)
+                    else jax.device_get(res_dev)
+                )
             with self.map_manager.optimization_lock, \
                     self.map_manager.map_lock, TIMERS.stage("es.ba_apply"):
                 self._update_ba_parameters(cache, res, kfid,
@@ -277,6 +283,12 @@ class Estimator:
             )
             # Defer the fetch: the device solves while tracking continues;
             # flush() applies the result at the next keyframe (or reset).
+            # A background thread fetches the result as soon as the solve
+            # completes — without it, flush()'s device_get pays a fresh
+            # ~26 ms tunnel RPC even though the solve finished keyframes
+            # ago (utils/prefetch.py).
+            if not os.environ.get("SLAMTPU_NO_PREFETCH"):
+                res = DevicePrefetch(res)
             self._pending = (cache, res, new_frame.kfid, n_poses, n_points,
                              n_obs)
             if not self.defer_ba:

@@ -20,9 +20,11 @@ from .. import hostmath as hm
 from ..camera import Camera
 
 
-@dataclass
+@dataclass(slots=True)
 class Keypoint:
-    """Reference frame.jl:26-48."""
+    """Reference frame.jl:26-48. Slotted: the per-frame host apply rebinds
+    3-7 fields on every tracked keypoint; slots cut the attribute-write
+    cost of that loop."""
     id: int
     pixel: np.ndarray                 # (2,) (y, x)
     undistorted_pixel: np.ndarray     # (2,) (y, x)

@@ -698,28 +698,51 @@ class FrontEnd:
         cap = self.params.keypoint_capacity
         prev_kf = mm.frames_map[frame.kfid]
 
-        kp = np.zeros((cap, 10), np.float32)
-        has_mp_list = np.zeros(cap, bool)
+        # Collect rows, then write each column family in one bulk
+        # assignment — the per-row setitem twin cost ~6-10 ms of the
+        # keyframe's host budget at ~900 live slots.
+        rows_mp, mp_pos = [], []
+        rows_join, join_und, join_bear = [], [], []
+        rows_live, flag_vals = [], []
+        kps_get = frame.keypoints.get
+        mps_get = mm.map_points.get
+        pkf_get = prev_kf.keypoints.get
         for j, kpid in enumerate(self._slot_ids):
             if kpid is None:
                 continue
-            kpo = frame.keypoints.get(kpid)
+            kpo = kps_get(kpid)
             if kpo is None:
                 self._slot_ids[j] = None
                 continue
             flags = ts.FL_VALID
             if kpo.is_3d:
-                mp = mm.map_points.get(kpid)
+                mp = mps_get(kpid)
                 if mp is not None:
                     flags |= ts.FL_HAS_MP
-                    kp[j, ts.TK_MP] = mp.get_position()
-                    has_mp_list[j] = True
-            pkp = prev_kf.keypoints.get(kpid)
+                    rows_mp.append(j)
+                    mp_pos.append(mp.position)
+            pkp = pkf_get(kpid)
             if pkp is not None:
                 flags |= ts.FL_JOIN
-                kp[j, ts.TK_PREV_UND] = pkp.undistorted_pixel[::-1]
-                kp[j, ts.TK_PREV_BEAR] = pkp.position[:2]
-            kp[j, ts.TK_FLAGS] = flags
+                rows_join.append(j)
+                join_und.append(pkp.undistorted_pixel)
+                join_bear.append(pkp.position)
+            rows_live.append(j)
+            flag_vals.append(flags)
+        kp = np.zeros((cap, 10), np.float32)
+        has_mp_list = np.zeros(cap, bool)
+        if rows_live:
+            kp[np.asarray(rows_live), ts.TK_FLAGS] = flag_vals
+        if rows_mp:
+            rows_mp = np.asarray(rows_mp)
+            kp[rows_mp, ts.TK_MP] = np.asarray(mp_pos, np.float32)
+            has_mp_list[rows_mp] = True
+        if rows_join:
+            rows_join = np.asarray(rows_join)
+            kp[rows_join, ts.TK_PREV_UND] = np.asarray(
+                join_und, np.float32)[:, ::-1]
+            kp[rows_join, ts.TK_PREV_BEAR] = np.asarray(
+                join_bear, np.float32)[:, :2]
         self._slot_has_mp = has_mp_list[:len(self._slot_ids)]
 
         misc = np.zeros(17, np.float32)

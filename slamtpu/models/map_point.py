@@ -17,6 +17,12 @@ from ..ops.features import hamming_distance
 
 
 class MapPoint:
+    __slots__ = (
+        "id", "kfid", "observer_keyframes_ids", "descriptor",
+        "keyframes_descriptors", "descriptor_distances_map", "position",
+        "is_3d", "is_observed",
+    )
+
     def __init__(self, mpid: int, kfid: int,
                  descriptor: Optional[np.ndarray] = None,
                  is_observed: bool = True):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -95,6 +96,20 @@ class PendingKeyframe:
     # removed from the current frame at apply time (the clone keeps the
     # keyframe observation).
     adopt_caught: object = None
+    # Background D2H of the outputs (utils/prefetch.py): started once the
+    # pending record is complete so the deferred host apply finds
+    # host-ready numpy instead of paying a ~26 ms tunnel RPC.
+    prefetch: object = None
+
+    def start_prefetch(self):
+        if os.environ.get("SLAMTPU_NO_PREFETCH"):
+            return
+        from ..utils.prefetch import DevicePrefetch
+
+        bufs = {"per_slot": self.per_slot, "n_new": self.n_new}
+        if self.adopt_caught is not None:
+            bufs["adopt_caught"] = self.adopt_caught
+        self.prefetch = DevicePrefetch(bufs)
 
 
 class Mapper:
@@ -431,11 +446,17 @@ class Mapper:
         slot_ids = pending.slot_ids
         cap = self.params.keypoint_capacity
 
+        caught_np = None
         with mm.map_lock, TIMERS.stage("mp.kf_async.apply"):
             with TIMERS.stage("mp.kf_async.fetch"):
-                per_slot, n_new = jax.device_get(
-                    (pending.per_slot, pending.n_new)
-                )
+                if pending.prefetch is not None:
+                    fetched = pending.prefetch.get()
+                    per_slot, n_new = fetched["per_slot"], fetched["n_new"]
+                    caught_np = fetched.get("adopt_caught")
+                else:
+                    per_slot, n_new = jax.device_get(
+                        (pending.per_slot, pending.n_new)
+                    )
             n_new = int(n_new)
 
             # New keypoints in the kernel's admitted order (the free-slot
@@ -489,7 +510,10 @@ class Mapper:
             # the CURRENT frame (the keyframe clone keeps the observation,
             # like any post-KF tracking loss; front_end.jl:184-218).
             if pending.adopt_caught is not None and n_new:
-                caught = np.asarray(jax.device_get(pending.adopt_caught))
+                caught = np.asarray(
+                    caught_np if caught_np is not None
+                    else jax.device_get(pending.adopt_caught)
+                )
                 for j in det_slots:
                     kpid = slot_ids[j]
                     if kpid is not None and not caught[j]:
@@ -737,6 +761,7 @@ class Mapper:
         # Temporal DLT gates (mapper.jl:239-260): gates only reject when
         # parallax > 20 px (low-parallax acceptance).
         n_temp = 0
+        group_of_kfid = {gd[0]: g for g, gd in enumerate(group_data)}
         for j, kpid in enumerate(ids):
             if not row_live[j]:
                 continue
@@ -756,11 +781,10 @@ class Mapper:
             okp = okf.get_keypoint(kpid) if okf is not None else None
             if okp is None:
                 continue
-            found = [g for g, gd in enumerate(group_data)
-                     if gd[0] == observers[0]]
-            if not found:
+            gi = group_of_kfid.get(observers[0])
+            if gi is None:
                 continue
-            _, rel_pose, rel_inv = group_data[found[0]]
+            _, rel_pose, rel_inv = group_data[gi]
 
             parallax = np.linalg.norm(
                 okp.undistorted_pixel

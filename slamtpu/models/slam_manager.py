@@ -282,6 +282,7 @@ class SlamManager:
                 self._pending_kf.adopt_caught = fe.adopt_keyframe_carry(
                     new_kf_carry, rec.carry_after
                 )
+                self._pending_kf.start_prefetch()
                 return
         # The carry beyond this frame was computed against stale state.
         replay = fe.pipeline_discard()
@@ -306,6 +307,9 @@ class SlamManager:
                 )
                 fe._carry = new_carry
                 fe._last_dispatch_time = fe.motion_model.prev_time
+                # Start the background D2H before the replay dispatches so
+                # its RPC isn't queued behind them on the tunnel.
+                self._pending_kf.start_prefetch()
                 for fid, time, image_dev, right_dev in replay:
                     fe.pipeline_dispatch(fid, image_dev, right_dev, time)
                 return
