@@ -140,10 +140,13 @@ class Estimator:
 
                 mp_order_id = len(map_points)
                 map_points[kpid] = mp_order_id
-                point_vecs.append(mp.get_position())
+                point_vecs.append(mp.position)
                 points_remap.append(kpid)
 
-                for ob_kfid in mp.get_observers():
+                # Iterate the observer dict directly — get_observers()
+                # copies into a list per call and this loop visits ~8k
+                # (point, observer) pairs per keyframe.
+                for ob_kfid in tuple(mp.observer_keyframes_ids):
                     if ob_kfid > frame.kfid:
                         continue
                     ob_frame = frames_map_get(ob_kfid)

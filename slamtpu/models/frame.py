@@ -39,9 +39,13 @@ class Keypoint:
 
     def __post_init__(self):
         if self.right_pixel is None:
-            self.right_pixel = self.pixel.copy()
-            self.right_undistorted_pixel = self.undistorted_pixel.copy()
-            self.right_position = self.position.copy()
+            # Share, don't copy: every mutation path in the codebase
+            # rebinds these fields (see copy() below), so aliasing the
+            # left-side arrays is safe and skips 3 allocations per new
+            # keypoint (~300 per keyframe admission).
+            self.right_pixel = self.pixel
+            self.right_undistorted_pixel = self.undistorted_pixel
+            self.right_position = self.position
 
     def copy(self) -> "Keypoint":
         """Snapshot SHARING the field arrays: every mutation path in the

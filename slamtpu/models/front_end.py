@@ -555,7 +555,7 @@ class FrontEnd:
         self._last_dispatch_time = time
         with TIMERS.stage("fe.pipe.dispatch"):
             new_carry, per_kp, scalars = track_step(
-                self._carry, image_dev, jnp.float32(dt),
+                self._carry, image_dev, np.float32(dt),
                 self._ransac_key(2, fid),
                 levels=p.pyramid_levels, window=p.window_size,
                 iters=p.lk_iterations, eps=p.lk_epsilon,
@@ -1052,6 +1052,11 @@ class FrontEnd:
     def _ransac_key(self, salt: int, fid: Optional[int] = None):
         if fid is None:
             fid = self.current_frame.id
-        return jax.random.PRNGKey(
-            (self.params.seed * 1000003 + fid) * 7 + salt
-        )
+        seed = (self.params.seed * 1000003 + fid) * 7 + salt
+        if jax.config.jax_enable_x64:  # pragma: no cover - non-default
+            return jax.random.PRNGKey(seed)
+        # Host twin of jax.random.PRNGKey under the default no-x64 config
+        # (threefry seed = [0, seed mod 2^32], verified bit-identical for
+        # seeds up to 2^40) — PRNGKey dispatches a tiny device program,
+        # which on the tunnel backend costs a per-frame RPC.
+        return np.array([0, seed % (2 ** 32)], np.uint32)
