@@ -465,13 +465,14 @@ class Mapper:
             id_start = mm.current_mappoint_id
             det_slots = pending.free_list[:n_new]
             if n_new:
-                det = per_slot[det_slots, 0:2].astype(np.float64)
-                mm.add_keypoints_to_frame(frame, det, [None] * n_new)
-                while len(slot_ids) < cap:
-                    slot_ids.append(None)
-                for k, j in enumerate(det_slots):
-                    slot_ids[j] = id_start + k
-                    pending.tri_cand[j] = True
+                with TIMERS.stage("mp.kf_async.admit"):
+                    det = per_slot[det_slots, 0:2].astype(np.float64)
+                    mm.add_keypoints_to_frame(frame, det, [None] * n_new)
+                    while len(slot_ids) < cap:
+                        slot_ids.append(None)
+                    for k, j in enumerate(det_slots):
+                        slot_ids[j] = id_start + k
+                        pending.tri_cand[j] = True
 
             mm.add_keyframe()  # deep clone (map_manager.jl:173-182)
             new_keyframe = mm.get_keyframe(frame.kfid)
@@ -500,10 +501,11 @@ class Mapper:
                         mm.remove_mappoint_obs(kpid, frame.kfid)
 
             ids_full = list(slot_ids) + [None] * (cap - len(slot_ids))
-            self._apply_keyframe_results(
-                new_keyframe, per_slot, ids_full, pending.tri_cand,
-                pending.group_data, cap,
-            )
+            with TIMERS.stage("mp.kf_async.results"):
+                self._apply_keyframe_results(
+                    new_keyframe, per_slot, ids_full, pending.tri_cand,
+                    pending.group_data, cap,
+                )
 
             # speculate_keyframes: new detections whose catch-up LK to the
             # speculated tip failed are no longer tracked — drop them from
