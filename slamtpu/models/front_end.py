@@ -1052,11 +1052,15 @@ class FrontEnd:
     def _ransac_key(self, salt: int, fid: Optional[int] = None):
         if fid is None:
             fid = self.current_frame.id
-        seed = (self.params.seed * 1000003 + fid) * 7 + salt
+        # Mask to 32 bits BEFORE branching: jax.random.PRNGKey's int64 ->
+        # int32 canonicalization for seeds >= 2^31 is version-dependent, so
+        # the host twin below could silently diverge from the x64 branch
+        # for params.seed >= ~307 (ADVICE r4 low).
+        seed = ((self.params.seed * 1000003 + fid) * 7 + salt) & 0xFFFFFFFF
         if jax.config.jax_enable_x64:  # pragma: no cover - non-default
             return jax.random.PRNGKey(seed)
         # Host twin of jax.random.PRNGKey under the default no-x64 config
         # (threefry seed = [0, seed mod 2^32], verified bit-identical for
         # seeds up to 2^40) — PRNGKey dispatches a tiny device program,
         # which on the tunnel backend costs a per-frame RPC.
-        return np.array([0, seed % (2 ** 32)], np.uint32)
+        return np.array([0, seed], np.uint32)

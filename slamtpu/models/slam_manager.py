@@ -40,6 +40,20 @@ class SlamManager:
                  right_camera: Optional[Camera] = None, slam_io=None):
         if params.stereo and right_camera is None:
             raise ValueError("[SM] Provide right_camera in stereo mode.")
+        if params.speculate_keyframes and not (
+            params.async_keyframe and params.fused_keyframe
+            and params.stereo and params.pipelined
+        ):
+            # The speculative adopt path only engages when the fused async
+            # keyframe program exists (stereo + fused_keyframe +
+            # async_keyframe + pipelined); anything else would silently
+            # degrade every keyframe to discard+replay while ALSO skipping
+            # the predict-keyframe pre-drain (ADVICE r4 low).
+            log.warning(
+                "[SM] speculate_keyframes requires pipelined stereo with "
+                "fused_keyframe + async_keyframe; disabling it."
+            )
+            params.speculate_keyframes = False
         from ..utils.jaxcache import enable_compilation_cache
         enable_compilation_cache()
         self.params = params
@@ -285,6 +299,13 @@ class SlamManager:
                 self._pending_kf.start_prefetch()
                 return
         # The carry beyond this frame was computed against stale state.
+        # A keyframe on a fid at/behind the last adopt tip has a carry that
+        # PREDATES the previous adopt — chaining the async keyframe program
+        # off it would leave the previous keyframe's host-admitted
+        # detections device-invalid forever (never tracked, never removed,
+        # cloned into every future keyframe). Force the synchronous
+        # start_pipeline() resync path instead (ADVICE r4 medium).
+        stale_adopt = rec.fid <= fe._adopt_tip_fid
         replay = fe.pipeline_discard()
         fe.adopt_pyramid(rec)
 
@@ -299,7 +320,7 @@ class SlamManager:
                 and rec.right_dev is not None
                 and not self.params.do_local_matching
             )
-            if use_fused_kf and self.params.async_keyframe:
+            if use_fused_kf and self.params.async_keyframe and not stale_adopt:
                 new_carry, self._pending_kf = (
                     self.mapper.dispatch_async_keyframe(
                         rec.carry_after, rec.right_dev, fe._slot_ids
