@@ -28,28 +28,58 @@ N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "15"))
 
 
+def measure_rpc_floor(reps: int = 7) -> float:
+    """Null-jit device round trip (dispatch + fetch of a tiny program), the
+    per-RPC floor of the tunnel backend at bench time. Recorded in the
+    output JSON so cross-round FPS comparisons can be normalized against
+    tunnel drift (VERDICT r4 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    f(x).block_until_ready()  # compile outside the timed reps
+    # The FIRST device->host fetch of a fresh process can stall for minutes
+    # (remote-helper warm-up, PERF.md) — absorb it outside the timed reps.
+    np.asarray(f(x))
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        samples.append((time.perf_counter() - t0) * 1000.0)
+    return round(float(np.median(samples)), 2)
+
+
 def prewarm_ba(camera):
     """Compile the BA bucket variants the run will hit, outside the timed
     window (the map grows through X/O padding buckets)."""
     import jax.numpy as jnp
-    from slamtpu.ops.ba import local_bundle_adjustment
+    from slamtpu.ops.ba import local_bundle_adjustment_packed
 
     rng = np.random.default_rng(0)
-    intr = jnp.asarray(camera.intrinsics_array())
+    intr = np.asarray(camera.intrinsics_array(), np.float32)
     for P, X, O in ((16, 2048, 8192), (16, 4096, 16384),
                     (32, 2048, 8192), (32, 4096, 16384)):
-        poses = jnp.asarray(rng.normal(0, 0.01, (P, 6)).astype(np.float32))
-        const = jnp.asarray(
-            np.array([True] + [False] * 7 + [True] * (P - 8))
-        )
-        pts = jnp.asarray(
-            (rng.uniform(-5, 5, (X, 3)) + [0, 0, 15]).astype(np.float32))
-        res = local_bundle_adjustment(
-            poses, const, pts,
-            jnp.asarray(rng.integers(0, 8, O).astype(np.int32)),
-            jnp.asarray(rng.integers(0, X, O).astype(np.int32)),
-            jnp.asarray(rng.uniform(0, 300, (O, 2)).astype(np.float32)),
-            jnp.ones((O,), bool), intr,
+        buf = np.zeros(P * 7 + X * 3 + O * 5 + 4, np.float32)
+        o = 0
+        buf[o:o + P * 6] = rng.normal(0, 0.01, P * 6)
+        o += P * 6
+        buf[o:o + P] = np.array([1.0] + [0.0] * 7 + [1.0] * (P - 8))
+        o += P
+        buf[o:o + X * 3] = (
+            rng.uniform(-5, 5, (X, 3)) + [0, 0, 15]).ravel()
+        o += X * 3
+        buf[o:o + O] = rng.integers(0, 8, O)
+        o += O
+        buf[o:o + O] = rng.integers(0, X, O)
+        o += O
+        buf[o:o + O * 2] = rng.uniform(0, 300, O * 2)
+        o += O * 2
+        buf[o:o + O] = 1.0
+        o += O
+        buf[o:o + 4] = intr
+        res = local_bundle_adjustment_packed(
+            jnp.asarray(buf), P=P, X=X, O=O,
             iters1=5, iters2=10, repr_eps=5.0,
         )
         res["final_cost"].block_until_ready()
@@ -200,16 +230,38 @@ def main():
     kitti = load_kitti_frames()
     primary_loaded = kitti if kitti is not None else load_synthetic(layout)
 
-    primary = run_once(primary_loaded, stereo=True, threaded=threaded)
+    rpc_floor = measure_rpc_floor()
+    print(f"rpc_floor_ms: {rpc_floor}", file=sys.stderr)
+
+    # The tunnel backend drifts ±20-40% between phases (PERF.md measurement
+    # hygiene): run the primary scene n_runs times in one process (compiles
+    # cached after run 1) and report median + min + per-run values so
+    # cross-round comparisons are interpretable (VERDICT r4 weak #4).
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
+    runs = []
+    primary = None
+    for k in range(n_runs):
+        if k:
+            TIMERS.reset()
+        primary = run_once(primary_loaded, stereo=True, threaded=threaded)
+        runs.append(primary["fps"])
+        print(f"run {k + 1}/{n_runs}: {primary['fps']} fps "
+              f"(ate {primary.get('ate_rmse_m')}, "
+              f"{primary['n_keyframes']} KFs)", file=sys.stderr)
     print("stage timers:", json.dumps(TIMERS.summary()), file=sys.stderr)
     print("removal causes:",
           json.dumps(primary.pop("removal_causes", {})), file=sys.stderr)
+    primary.pop("fps")
 
     result = {
         "metric": f"fps_{primary.pop('scene')}_stereo_e2e",
-        "value": primary.pop("fps"),
+        "value": round(float(np.median(runs)), 2),
         "unit": "fps",
         "vs_baseline": 0.0,
+        "rpc_floor_ms": rpc_floor,
+        "n_runs": n_runs,
+        "fps_runs": runs,
+        "fps_min": min(runs),
         **primary,
     }
     result["vs_baseline"] = round(result["value"] / 60.0, 3)

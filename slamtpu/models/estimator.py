@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ba import local_bundle_adjustment
+from ..ops.ba import local_bundle_adjustment_packed
 from ..params import Params
 from ..utils.padding import next_bucket
 from ..utils.prefetch import DevicePrefetch
@@ -259,27 +259,34 @@ class Estimator:
             X = next_bucket(n_points, minimum=2048)
             O = next_bucket(n_obs, minimum=8192)
 
-            poses0 = np.zeros((P, 6), np.float32)
-            poses0[:n_poses] = np.asarray(cache["pose_vecs"], np.float32)
-            pose_const = np.ones((P,), bool)  # padded slots constant
-            pose_const[:n_poses] = np.asarray(cache["pose_const"], bool)
-            points0 = np.zeros((X, 3), np.float32)
-            points0[:n_points] = np.asarray(cache["point_vecs"], np.float32)
-            obs_pose = np.zeros((O,), np.int32)
-            obs_pose[:n_obs] = cache["obs_pose"]
-            obs_point = np.zeros((O,), np.int32)
-            obs_point[:n_obs] = cache["obs_point"]
-            obs_px = np.zeros((O, 2), np.float32)
-            obs_px[:n_obs] = np.asarray(cache["obs_px"], np.float32)
-            obs_valid = np.zeros((O,), bool)
-            obs_valid[:n_obs] = True
+            # ONE packed f32 upload (ops/ba.py layout): eight jnp.asarray
+            # calls cost eight H2D RPCs on the tunnel (~15 ms of the
+            # es.ba 19.6 ms/KF budget).
+            buf = np.zeros(P * 7 + X * 3 + O * 5 + 4, np.float32)
+            o = 0
+            buf[o:o + n_poses * 6] = np.asarray(
+                cache["pose_vecs"], np.float32).ravel()
+            o += P * 6
+            buf[o:o + P] = 1.0  # padded slots constant
+            buf[o:o + n_poses] = np.asarray(cache["pose_const"], np.float32)
+            o += P
+            buf[o:o + n_points * 3] = np.asarray(
+                cache["point_vecs"], np.float32).ravel()
+            o += X * 3
+            buf[o:o + n_obs] = np.asarray(cache["obs_pose"], np.float32)
+            o += O
+            buf[o:o + n_obs] = np.asarray(cache["obs_point"], np.float32)
+            o += O
+            buf[o:o + n_obs * 2] = np.asarray(
+                cache["obs_px"], np.float32).ravel()
+            o += O * 2
+            buf[o:o + n_obs] = 1.0  # obs_valid
+            o += O
+            buf[o:o + 4] = np.asarray(
+                new_frame.camera.intrinsics_array(), np.float32)
 
-            res = local_bundle_adjustment(
-                jnp.asarray(poses0), jnp.asarray(pose_const),
-                jnp.asarray(points0), jnp.asarray(obs_pose),
-                jnp.asarray(obs_point), jnp.asarray(obs_px),
-                jnp.asarray(obs_valid),
-                jnp.asarray(new_frame.camera.intrinsics_array()),
+            res = local_bundle_adjustment_packed(
+                jnp.asarray(buf), P=P, X=X, O=O,
                 iters1=p.ba_phase1_iterations,
                 iters2=p.ba_phase2_iterations,
                 repr_eps=5.0,

@@ -10,6 +10,7 @@ thresholds.
 from __future__ import annotations
 
 import logging
+import os
 from collections import deque
 from dataclasses import dataclass, field
 from typing import Optional
@@ -43,6 +44,20 @@ class InflightFrame:
     per_kp: object        # device future (cap, 12)
     scalars: object       # device future (60,)
     carry_after: object   # device carry pytree after this step
+    # Background D2H of (per_kp, scalars) issued at dispatch time
+    # (utils/prefetch.py): on the tunnel backend copy_to_host_async is a
+    # no-op, so without this every apply pays the result wait as a blocking
+    # RPC (fe.pipe.fetch 15 ms/frame steady, BENCH r5 decomposition).
+    prefetch: object = None
+
+    def fetch(self):
+        """Host numpy (per_kp, scalars), via the prefetch when one ran."""
+        if self.prefetch is not None:
+            fetched, self.prefetch = self.prefetch.get(), None
+            return fetched["per_kp"], fetched["scalars"]
+        import jax
+
+        return jax.device_get((self.per_kp, self.scalars))
 
 
 class FrontEnd:
@@ -572,13 +587,16 @@ class FrontEnd:
         rec = InflightFrame(fid, time, image_dev, right_dev,
                             per_kp, scalars, new_carry)
         self.inflight.append(rec)
-        # Start the D2H copy early where the backend supports it so the
-        # apply-side fetch overlaps the next frame's exec.
-        for buf in (per_kp, scalars):
-            try:
-                buf.copy_to_host_async()
-            except Exception:
-                pass
+        # Issue the D2H from the background fetcher immediately: the copy
+        # overlaps this and subsequent frames' host work, so the apply-side
+        # fetch finds host-ready numpy instead of paying a blocking RPC
+        # (copy_to_host_async is a no-op on the tunnel backend).
+        if not os.environ.get("SLAMTPU_NO_PREFETCH"):
+            from ..utils.prefetch import DevicePrefetch
+
+            rec.prefetch = DevicePrefetch(
+                {"per_kp": per_kp, "scalars": scalars}
+            )
         return rec
 
     def pipeline_apply(self, rec: InflightFrame, per_kp, scalars,
@@ -630,6 +648,11 @@ class FrontEnd:
         replay = [
             (r.fid, r.time, r.image_dev, r.right_dev) for r in self.inflight
         ]
+        for r in self.inflight:
+            if r.prefetch is not None:
+                # Free the shared fetcher worker for the keyframe prefetch —
+                # these results are about to be recomputed by the replay.
+                r.prefetch.cancel()
         self.inflight.clear()
         self._carry = None
         self._stale_kf_fids = set()
@@ -666,6 +689,9 @@ class FrontEnd:
         return caught
 
     def pipeline_stop(self):
+        for r in self.inflight:
+            if r.prefetch is not None:
+                r.prefetch.cancel()
         self.inflight.clear()
         self._carry = None
         self._slot_ids = []

@@ -133,6 +133,13 @@ class SlamManager:
         return jnp.asarray(arr)
 
     def _process_frame(self, image, right_image, time: float):
+        # Whole-frame accounting: everything the caller pays per add_*_image
+        # call lands under sm.frame, so the per-stage timers below can be
+        # checked against the total (PERF.md measurement hygiene).
+        with TIMERS.stage("sm.frame"):
+            self._process_frame_inner(image, right_image, time)
+
+    def _process_frame_inner(self, image, right_image, time: float):
         fe = self.front_end
         if (self.params.pipelined and self.params.sequential
                 and fe.pipeline_active):
@@ -165,7 +172,8 @@ class SlamManager:
             while (fe.pipeline_active
                    and len(fe.inflight) >= self.params.pipeline_depth):
                 self._pipeline_apply_one()
-            image_dev = upload.result()
+            with TIMERS.stage("sm.upload_join"):
+                image_dev = upload.result()
             if not fe.pipeline_active:
                 # A reset mid-apply tore the pipeline down; fall through to
                 # the classic path for this frame.
@@ -227,6 +235,10 @@ class SlamManager:
             return True
         self._pending_kf = None
         fe = self.front_end
+        with TIMERS.stage("sm.drain_kf"):
+            return self._drain_pending_kf_inner(pending, fe)
+
+    def _drain_pending_kf_inner(self, pending, fe) -> bool:
         ok = self.mapper.apply_async_keyframe(pending)
         if self.params.reset_required:
             fe.pipeline_stop()
@@ -257,7 +269,7 @@ class SlamManager:
         self.current_frame.id = rec.fid
         self.current_frame.time = rec.time
         with TIMERS.stage("fe.pipe.fetch"):
-            per_kp, scalars = jax.device_get((rec.per_kp, rec.scalars))
+            per_kp, scalars = rec.fetch()
         is_kf_required = fe.pipeline_apply(rec, per_kp, scalars, self.slam_io)
 
         if self.params.reset_required:

@@ -205,6 +205,47 @@ def _lm_rounds(poses, points, pose_free_mask, obs_pose, obs_point, obs_px,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("P", "X", "O", "iters1", "iters2", "repr_eps",
+                              "depth_eps", "gross_eps")
+)
+def local_bundle_adjustment_packed(buf, *, P: int, X: int, O: int,
+                                   iters1: int = 5, iters2: int = 10,
+                                   repr_eps: float = 5.0,
+                                   depth_eps: float = 1e-6,
+                                   gross_eps: float = 1e4):
+    """Single-upload wrapper: the estimator packs every BA input into ONE
+    flat f32 buffer so dispatch costs one H2D transfer instead of eight
+    (each jnp.asarray is a separate ~5-7 ms RPC on the tunnel backend —
+    BENCH r5 decomposition: es.ba 19.6 ms/KF, mostly transfers).
+
+    Layout: [poses0 P*6 | pose_const P | points0 X*3 | obs_pose O |
+             obs_point O | obs_px O*2 | obs_valid O | intrinsics 4].
+    Index/bool lanes ride as f32 (exact for indices < 2^24).
+    """
+    i = 0
+
+    def take(n, shape=None):
+        nonlocal i
+        part = jax.lax.slice_in_dim(buf, i, i + n)
+        i += n
+        return part.reshape(shape) if shape is not None else part
+
+    poses0 = take(P * 6, (P, 6))
+    pose_const = take(P) > 0.5
+    points0 = take(X * 3, (X, 3))
+    obs_pose = take(O).astype(jnp.int32)
+    obs_point = take(O).astype(jnp.int32)
+    obs_px = take(O * 2, (O, 2))
+    obs_valid = take(O) > 0.5
+    intrinsics = take(4)
+    return local_bundle_adjustment(
+        poses0, pose_const, points0, obs_pose, obs_point, obs_px,
+        obs_valid, intrinsics, iters1=iters1, iters2=iters2,
+        repr_eps=repr_eps, depth_eps=depth_eps, gross_eps=gross_eps,
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("iters1", "iters2", "repr_eps", "depth_eps",
                               "gross_eps")
 )

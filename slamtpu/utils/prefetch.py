@@ -37,6 +37,11 @@ class DevicePrefetch:
     def done(self) -> bool:
         return self._future.done()
 
+    def cancel(self):
+        """Drop the fetch if it hasn't started (discarded speculative
+        frames); an already-running fetch completes and is garbage."""
+        self._future.cancel()
+
     def get(self):
         future, self._future = self._future, None
         return future.result()
