@@ -217,6 +217,12 @@ def run_once(loaded, stereo: bool, threaded: bool) -> dict:
         except Exception:
             pass
     out["removal_causes"] = dict(sm.front_end.removal_counts)
+    cand = sm.front_end.gate_candidates
+    out["gate_rates"] = {
+        k: round(v / cand[k], 4) if cand.get(k) else None
+        for k, v in sm.front_end.removal_counts.items()
+    }
+    out["gate_candidates"] = dict(cand)
     return out
 
 
@@ -251,6 +257,9 @@ def main():
     print("stage timers:", json.dumps(TIMERS.summary()), file=sys.stderr)
     print("removal causes:",
           json.dumps(primary.pop("removal_causes", {})), file=sys.stderr)
+    print("gate rates:", json.dumps(primary.get("gate_rates", {})),
+          "candidates:", json.dumps(primary.pop("gate_candidates", {})),
+          file=sys.stderr)
     primary.pop("fps")
 
     result = {
@@ -274,6 +283,7 @@ def main():
                          threaded=threaded)
             r.pop("removal_causes", None)
             r.pop("frames", None)
+            r.pop("gate_candidates", None)
             result[other] = r
         except Exception as e:  # pragma: no cover
             result[other] = {"error": str(e)[:200]}
@@ -282,6 +292,7 @@ def main():
             r = run_once(primary_loaded, stereo=False, threaded=threaded)
             r.pop("removal_causes", None)
             r.pop("frames", None)
+            r.pop("gate_candidates", None)
             result["mono"] = r
         except Exception as e:  # pragma: no cover
             result["mono"] = {"error": str(e)[:200]}

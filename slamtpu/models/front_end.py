@@ -49,6 +49,11 @@ class InflightFrame:
     # no-op, so without this every apply pays the result wait as a blocking
     # RPC (fe.pipe.fetch 15 ms/frame steady, BENCH r5 decomposition).
     prefetch: object = None
+    # Host numpy (per_kp, scalars) stashed by a PAIR fetch: device_get
+    # batches any number of buffers into one round trip (PERF.md r5 fetch
+    # probe), so the apply of frame N fetches frame N+1's results in the
+    # same RPC and stashes them here.
+    fetched: object = None
 
     def fetch(self):
         """Host numpy (per_kp, scalars), via the prefetch when one ran."""
@@ -105,6 +110,10 @@ class FrontEnd:
         self._n_kf_adopts = 0  # cumulative telemetry (never reset)
         # Diagnostic: cumulative keypoint-removal causes (bench prints it).
         self.removal_counts = {"track": 0, "ess": 0, "p3p": 0, "pnp": 0}
+        # Per-gate candidate counts (same keys): removals / candidates is
+        # the per-frame removal RATE the churn audit compares against the
+        # reference's gates (VERDICT r5 item 2; PERF.md churn table).
+        self.gate_candidates = {"track": 0, "ess": 0, "p3p": 0, "pnp": 0}
 
     # -- entry (front_end.jl:58-73) -----------------------------------------
 
@@ -371,6 +380,7 @@ class FrontEnd:
         # 1. KLT keypoint updates/removals (map_manager.jl:524-562).
         ok = per_kp[:n, 7] > 0
         rc["track"] += int(np.sum(np.asarray(attempted) & ~ok))
+        self.gate_candidates["track"] += int(np.sum(np.asarray(attempted)))
         new_px = per_kp[:n, 0:2]
         und_px = per_kp[:n, 2:4]
         bearings = per_kp[:n, 4:7]
@@ -394,7 +404,10 @@ class FrontEnd:
         ess_gate = scalars[41] > 0
         ess_out = per_kp[:n, 8] > 0
         if ess_gate:
-            rc["ess"] += int(np.sum(ess_out))
+            n_ess_out = int(np.sum(ess_out))
+            rc["ess"] += n_ess_out
+            # candidates = inliers (scalar 42) + removed outliers
+            self.gate_candidates["ess"] += int(scalars[42]) + n_ess_out
             for i, kpid in enumerate(ids):
                 if kpid is not None and ess_out[i]:
                     mm.remove_obs_from_current_frame(kpid)
@@ -431,6 +444,7 @@ class FrontEnd:
             has_mp_ok = (
                 ok & np.asarray(has_mp, bool) & ~(ess_out & bool(ess_gate))
             )
+            self.gate_candidates["p3p"] += int(np.sum(has_mp_ok))
             rc["p3p"] += int(np.sum(has_mp_ok & ~p3p_in))
             for i, kpid in enumerate(ids):
                 if kpid is not None and has_mp_ok[i] and not p3p_in[i]:
@@ -449,6 +463,7 @@ class FrontEnd:
                 self.reset_frame()
             else:
                 pnp_out = per_kp[:n, 10] > 0
+                self.gate_candidates["pnp"] += int(np.sum(has_mp_ok & p3p_in))
                 rc["pnp"] += int(np.sum(has_mp_ok & p3p_in & pnp_out))
                 for i, kpid in enumerate(ids):
                     if (kpid is not None and has_mp_ok[i] and p3p_in[i]
@@ -587,11 +602,13 @@ class FrontEnd:
         rec = InflightFrame(fid, time, image_dev, right_dev,
                             per_kp, scalars, new_carry)
         self.inflight.append(rec)
-        # Issue the D2H from the background fetcher immediately: the copy
-        # overlaps this and subsequent frames' host work, so the apply-side
-        # fetch finds host-ready numpy instead of paying a blocking RPC
-        # (copy_to_host_async is a no-op on the tunnel backend).
-        if not os.environ.get("SLAMTPU_NO_PREFETCH"):
+        # Optional early D2H from the background fetcher. MEASURED HARMFUL
+        # on the tunnel backend (PERF.md r5): a D2H issued before the
+        # producing program completes HOLDS the transport for the residual
+        # exec time, serializing the uploader's H2D behind it (bench
+        # 18.7 -> 12.0 FPS, sm.upload_async 13 -> 38 ms). Default off;
+        # revisit on a locally-attached backend with real async streams.
+        if p.track_prefetch and not os.environ.get("SLAMTPU_NO_PREFETCH"):
             from ..utils.prefetch import DevicePrefetch
 
             rec.prefetch = DevicePrefetch(

@@ -269,7 +269,26 @@ class SlamManager:
         self.current_frame.id = rec.fid
         self.current_frame.time = rec.time
         with TIMERS.stage("fe.pipe.fetch"):
-            per_kp, scalars = rec.fetch()
+            if rec.fetched is not None:
+                per_kp, scalars = rec.fetched
+                rec.fetched = None
+            elif (
+                fe.inflight and rec.prefetch is None
+                and fe.inflight[0].prefetch is None
+                # Right after a keyframe the queue holds fresh replay
+                # dispatches whose exec runs BEHIND the keyframe program;
+                # a fetch of unfinished outputs holds the tunnel transport
+                # (PERF.md r5 contention probe), so pair-fetch only once
+                # the chain has drained past the keyframe.
+                and rec.fid - fe._last_kf_fid >= 3
+            ):
+                nxt = fe.inflight[0]
+                per_kp, scalars, n_pk, n_sc = jax.device_get(
+                    (rec.per_kp, rec.scalars, nxt.per_kp, nxt.scalars)
+                )
+                nxt.fetched = (n_pk, n_sc)
+            else:
+                per_kp, scalars = rec.fetch()
         is_kf_required = fe.pipeline_apply(rec, per_kp, scalars, self.slam_io)
 
         if self.params.reset_required:

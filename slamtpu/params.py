@@ -128,6 +128,13 @@ class Params:
     # optimal on a FIFO device queue; speculation would need a second
     # compute stream. Default off.
     speculate_keyframes: bool = False
+    # Background-prefetch the per-frame track outputs at dispatch time.
+    # MEASURED HARMFUL on the tunnel backend (PERF.md r5): a D2H issued
+    # before the producing program completes holds the transport for the
+    # residual exec time, serializing the uploader's H2D behind it
+    # (18.7 -> 12.0 FPS, sm.upload_async 13 -> 38 ms steady). Default off;
+    # revisit on a locally-attached backend with true async streams.
+    track_prefetch: bool = False
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —
