@@ -150,6 +150,10 @@ def make_params(stereo: bool, threaded: bool):
         params.subpixel_detect = os.environ["BENCH_SUBPIX"] == "1"
     if os.environ.get("BENCH_SPEC_KF"):
         params.speculate_keyframes = os.environ["BENCH_SPEC_KF"] == "1"
+    if os.environ.get("BENCH_PAIR_FETCH"):
+        params.pair_fetch = os.environ["BENCH_PAIR_FETCH"] == "1"
+    if os.environ.get("BENCH_TRACK_PREFETCH"):
+        params.track_prefetch = os.environ["BENCH_TRACK_PREFETCH"] == "1"
     return params
 
 
@@ -239,6 +243,17 @@ def main():
     rpc_floor = measure_rpc_floor()
     print(f"rpc_floor_ms: {rpc_floor}", file=sys.stderr)
 
+    # This box has ONE cpu: any concurrent python process (a test suite, a
+    # CPU-backend diagnostic) steals the host half of the pipeline and
+    # halves the measured FPS (PERF.md r5: interleaved A/B at 6 FPS under
+    # 3 concurrent jobs vs 14-19 alone). Record the load so contaminated
+    # runs are self-documenting.
+    load_1m = os.getloadavg()[0]
+    if load_1m > 0.5:
+        print(f"WARNING: loadavg {load_1m:.2f} > 0.5 — another process is "
+              "competing for the single CPU; FPS will be depressed.",
+              file=sys.stderr)
+
     # The tunnel backend drifts ±20-40% between phases (PERF.md measurement
     # hygiene): run the primary scene n_runs times in one process (compiles
     # cached after run 1) and report median + min + per-run values so
@@ -268,6 +283,7 @@ def main():
         "unit": "fps",
         "vs_baseline": 0.0,
         "rpc_floor_ms": rpc_floor,
+        "loadavg_1m": round(load_1m, 2),
         "n_runs": n_runs,
         "fps_runs": runs,
         "fps_min": min(runs),

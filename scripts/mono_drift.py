@@ -12,6 +12,7 @@ ratio of triangulated depths to ground-truth depths for new map points
 
 Usage: JAX_PLATFORMS=cpu python scripts/mono_drift.py [n_frames]
 """
+import logging
 import sys
 
 import numpy as np
@@ -21,6 +22,7 @@ sys.path.insert(0, ".")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+logging.basicConfig(level=logging.WARNING, format="%(name)s %(message)s")
 
 from slamtpu import Params, ReplaySaver, SlamManager  # noqa: E402
 from slamtpu.datasets.synthetic import make_scene  # noqa: E402
@@ -34,8 +36,21 @@ def main():
         stereo=True, baseline=0.54, seed=7, layout="city",
     )
     saver = ReplaySaver()
+    import os
+
     params = Params(stereo=False, do_local_bundle_adjustment=True,
                     map_filtering=True)
+    if os.environ.get("MD_LOCAL_MATCHING"):
+        params.do_local_matching = os.environ["MD_LOCAL_MATCHING"] == "1"
+    if os.environ.get("MD_KF3D"):
+        params.kf_emergency_3d = int(os.environ["MD_KF3D"])
+    if os.environ.get("MD_MIN_TRI_PARALLAX"):
+        params.min_triangulation_parallax = float(
+            os.environ["MD_MIN_TRI_PARALLAX"]
+        )
+    print("config: local_matching=%s kf_emergency_3d=%d min_tri_par=%.1f"
+          % (params.do_local_matching, params.kf_emergency_3d,
+             params.min_triangulation_parallax))
     sm = SlamManager(params, scene.camera, slam_io=saver)
     kf_frames = []
     for i in range(len(scene)):
@@ -61,6 +76,75 @@ def main():
               + " ".join(f"{r:6.3f}" for r in blk))
     print(f"ratio first5={ratio[:5].mean():.3f} last5={ratio[-5:].mean():.3f}"
           f" (drift x{ratio[-5:].mean() / max(ratio[:5].mean(), 1e-12):.2f})")
+
+    # Correlate spikes with the pose source per frame (front_end.pose_trace:
+    # fid, source, n_p3p_candidates, n_inliers, n_pnp_outliers). Steps are
+    # est[k]→est[k+1] so a bad pose at frame k spikes ratio[k-1] and
+    # ratio[k].
+    trace = {fid: rest for fid, *rest in sm.front_end.pose_trace}
+    med = np.median(ratio[np.isfinite(ratio)])
+    spikes = [k for k, r in enumerate(ratio) if r > 2.5 * med]
+    print(f"median ratio {med:.3f}; spike steps (>2.5x median): {spikes}")
+
+    # Per-frame aligned position error + PnP residual: separates "pose
+    # noisy at this frame" from "scale drifted here".
+    from slamtpu.eval.ate import umeyama_alignment
+
+    s_al, R_al, t_al = umeyama_alignment(est, gt, with_scale=True)
+    est_al = (s_al * (R_al @ est.T)).T + t_al
+    perr = np.linalg.norm(est_al - gt, axis=1)
+    print("per-frame aligned position error / PnP final residual:")
+    for k in range(len(perr)):
+        if k in trace:
+            src, n_cand, n_inl, n_out, e0, e1 = trace[k]
+            flag = " <SPIKE" if (k in spikes or k - 1 in spikes) else ""
+            print(f"  f{k:3d} err={perr[k]:7.4f} cand={n_cand:4d} "
+                  f"inl={n_inl:4d} out={n_out:3d} pnp_res={e1:9.3f} "
+                  f"(init {e0:9.3f}){flag}")
+
+    # Per-anchor-KF local map scale: similarity-align the trajectory, map
+    # the 3D points through it, associate each to the nearest GT scene
+    # point, and compare KF-centered ranges (est/gt). A per-KF median
+    # climbing with kfid is the triangulation-depth bias driving the
+    # gradual drift; a flat one exonerates triangulation.
+    try:
+        from scipy.spatial import cKDTree
+
+        gt_pts = np.asarray(scene.points, np.float64)
+        tree = cKDTree(gt_pts)
+        mm2 = sm.map_manager
+        kf_pos_est = {}
+        for kfid, kf in mm2.frames_map.items():
+            kf_pos_est[kfid] = (s_al * (R_al @ kf.wc[:3, 3])) + t_al
+        by_kf = {}
+        for mp in mm2.map_points.values():
+            if not mp.is_3d or mp.kfid not in kf_pos_est:
+                continue
+            p_al = (s_al * (R_al @ np.asarray(mp.position))) + t_al
+            d, j = tree.query(p_al)
+            c = kf_pos_est[mp.kfid]
+            r_est = np.linalg.norm(p_al - c)
+            r_gt = np.linalg.norm(gt_pts[j] - c)
+            if r_gt > 1e-6:
+                by_kf.setdefault(mp.kfid, []).append(
+                    (r_est / r_gt, d)
+                )
+        print("per-anchor-KF map scale (aligned est range / gt range), "
+              "NN dist:")
+        for kfid in sorted(by_kf):
+            rr = np.array([v[0] for v in by_kf[kfid]])
+            dd = np.array([v[1] for v in by_kf[kfid]])
+            print(f"  kf {kfid:3d}: n={len(rr):4d} scale_med="
+                  f"{np.median(rr):.4f} p10={np.percentile(rr, 10):.4f} "
+                  f"p90={np.percentile(rr, 90):.4f} "
+                  f"nn_med={np.median(dd):.4f}")
+    except Exception as e:  # pragma: no cover - diagnostic only
+        print("per-KF scale audit skipped:", e)
+
+    n_src = {}
+    for fid, (src, *_rest) in trace.items():
+        n_src[src] = n_src.get(src, 0) + 1
+    print("pose sources:", n_src)
 
     ate_aligned = ate_rmse(est, gt, align_scale=True)
     ate_raw = ate_rmse(est, gt, align_scale=False)

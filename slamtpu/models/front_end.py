@@ -114,6 +114,10 @@ class FrontEnd:
         # the per-frame removal RATE the churn audit compares against the
         # reference's gates (VERDICT r5 item 2; PERF.md churn table).
         self.gate_candidates = {"track": 0, "ess": 0, "p3p": 0, "pnp": 0}
+        # Diagnostic: per-frame (fid, pose_source, n_p3p_candidates,
+        # n_inliers, n_pnp_outliers) — which stage last set this frame's
+        # pose (mono drift decomposition, scripts/mono_drift.py).
+        self.pose_trace: list = []
 
     # -- entry (front_end.jl:58-73) -----------------------------------------
 
@@ -376,6 +380,7 @@ class FrontEnd:
         mm = self.map_manager
         n = len(ids)
         rc = self.removal_counts
+        pose_source = "mm"
 
         # 1. KLT keypoint updates/removals (map_manager.jl:524-562).
         ok = per_kp[:n, 7] > 0
@@ -428,6 +433,7 @@ class FrontEnd:
             # below, whose scalars carry a full world pose) stands instead.
             if mm.nb_keyframes > 2 and not stale_parallax:
                 frame.set_cw(pose_5pt, slam_io)
+                pose_source = "5pt"
 
         # 3. P3P + PnP refinement application (front_end.jl:168-218).
         n_p3p = int(scalars[43])
@@ -436,6 +442,7 @@ class FrontEnd:
                         n_p3p)
         elif int(scalars[44]) < 5:
             log.warning("[FE] P3P too few inliers - resetting!")
+            pose_source = "reset"
             self.reset_frame()
         else:
             p3p_in = per_kp[:n, 9] > 0
@@ -455,11 +462,13 @@ class FrontEnd:
                 np.asarray(scalars[16:32], np.float64).reshape(4, 4),
                 slam_io,
             )
+            pose_source = "p3p"
 
             n_inl = int(scalars[44])
             n_out = int(scalars[47])
             if n_inl - n_out < 5 or float(scalars[46]) > float(scalars[45]):
                 log.warning("[FE] P3P BA too few inliers - resetting!")
+                pose_source = "reset"
                 self.reset_frame()
             else:
                 pnp_out = per_kp[:n, 10] > 0
@@ -476,7 +485,12 @@ class FrontEnd:
                     ),
                     slam_io,
                 )
+                pose_source = "pnp"
 
+        self.pose_trace.append(
+            (frame.id, pose_source, int(scalars[43]), int(scalars[44]),
+             int(scalars[47]), float(scalars[45]), float(scalars[46]))
+        )
         # 4. Motion model + keyframe decision (front_end.jl:116-117).
         self.motion_model.update(frame.wc, time)
         # A frame dispatched BEFORE a keyframe landed measured its device
@@ -614,6 +628,15 @@ class FrontEnd:
             rec.prefetch = DevicePrefetch(
                 {"per_kp": per_kp, "scalars": scalars}
             )
+        elif os.environ.get("SLAMTPU_C2HA"):
+            # A/B knob: the pre-r5 best-effort dispatch-time D2H hint
+            # (jax copy_to_host_async; documented as possibly a no-op on
+            # the tunnel backend — adjudicated by interleaved bench).
+            for buf in (per_kp, scalars):
+                try:
+                    buf.copy_to_host_async()
+                except Exception:
+                    pass
         return rec
 
     def pipeline_apply(self, rec: InflightFrame, per_kp, scalars,
@@ -997,7 +1020,7 @@ class FrontEnd:
         if (frame.nb_occupied_cells < 0.33 * p.max_nb_keypoints
                 and frames_delta >= 5 and not p.local_ba_on):
             return True
-        if frame.nb_3d_kpts < 20 and frames_delta >= 2:
+        if frame.nb_3d_kpts < p.kf_emergency_3d and frames_delta >= 2:
             return True
         if (frame.nb_3d_kpts > 0.5 * p.max_nb_keypoints
                 and (p.local_ba_on or frames_delta < 2)):

@@ -1091,6 +1091,10 @@ class Mapper:
                     okp.undistorted_pixel
                     - frame.camera.project(rel_pose[:3, :3] @ kp.position)
                 )
+                if parallax < self.params.min_triangulation_parallax:
+                    # Depth unobservable at this baseline: stay 2D and
+                    # re-triangulate at a later KF (params.py rationale).
+                    continue
                 if abs(lp[3]) < 1e-12:
                     continue
                 left_point = lp / lp[3]

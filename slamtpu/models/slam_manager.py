@@ -273,7 +273,8 @@ class SlamManager:
                 per_kp, scalars = rec.fetched
                 rec.fetched = None
             elif (
-                fe.inflight and rec.prefetch is None
+                self.params.pair_fetch
+                and fe.inflight and rec.prefetch is None
                 and fe.inflight[0].prefetch is None
                 # Right after a keyframe the queue holds fresh replay
                 # dispatches whose exec runs BEHIND the keyframe program;

@@ -395,10 +395,142 @@ def dryrun(n_devices: int, batch: int | None = None, height: int = 48,
                                     height=height, width=width)
     # The production Schur-complement local BA, observation-axis sharded.
     ba_info = dryrun_ba(n_devices)
+    # The mapper (keyframe) program offloaded to a second device while
+    # tracking continues on device 0 (VERDICT r5 item 6).
+    offload_info = dryrun_mapper_offload(n_devices)
     return {
         "mesh": dict(mesh.shape),
         "tracked": int(np.asarray(ok).sum()),
         "cost": [float(c) for c in np.asarray(cost)],
         "frontend": frontend_info,
         "ba": ba_info,
+        "mapper_offload": offload_info,
+    }
+
+
+def make_offload_inputs(height: int = 64, width: int = 96, cap: int = 64,
+                        n: int = 32, levels: int = 2, window: int = 5):
+    """Inputs for the PRODUCTION track_step + keyframe_step_carry pair on
+    tiny shapes: a blob-textured image (structured gradients survive the
+    detector/LK smoothing), n seeded keypoints, and a keyframe state with
+    no temporal groups and the slot tail free for detection admission
+    (mirrors models/mapper.py::_pack_carry_state)."""
+    from ..ops import keyframe_step as ks
+    from ..ops import track_step as ts
+
+    pad = lk_pad(window)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    img = np.zeros((height, width))
+    centers = []
+    for _ in range(120):
+        cy, cx = rng.uniform(10, height - 10), rng.uniform(10, width - 10)
+        s = rng.uniform(1.0, 2.5)
+        img += rng.uniform(0.3, 1.0) * np.exp(
+            -(((yy - cy) ** 2) + (xx - cx) ** 2) / (2 * s * s)
+        )
+        centers.append((cy, cx))
+    img = (img / img.max()).astype(np.float32)
+
+    kp = np.zeros((cap, 10), np.float32)
+    kp[:n, ts.TK_PX] = np.asarray(centers[:n], np.float32)
+    kp[:n, ts.TK_FLAGS] = ts.FL_VALID
+    intr = np.array([0.9 * width, 0.9 * width, width / 2.0, height / 2.0],
+                    np.float32)
+    misc = np.zeros(48, np.float32)
+    misc[ts.MS_PREV_KF_CW] = np.eye(4, dtype=np.float32).reshape(16)
+    misc[ts.MS_WC] = np.eye(4, dtype=np.float32).reshape(16)
+    misc[ts.MS_INTRINSICS] = intr
+
+    pyr = build_lk_pyramid(jnp.asarray(img), levels=levels, pad=pad)
+    carry = {
+        "pyr": tuple(
+            {k: np.asarray(v) for k, v in lvl.items()} for lvl in pyr
+        ),
+        "kp": kp,
+        "misc": misc,
+    }
+
+    state = np.zeros((ks.state2_rows(cap), 16), np.float32)
+    state[:cap, ks.KS2_GROUP] = -1.0
+    state[:n, ks.KS2_UND] = kp[:n, 0:2]
+    free = np.full(cap, cap, np.float32)
+    free[: cap - n] = np.arange(n, cap, dtype=np.float32)
+    state[:cap, ks.KS2_FREE] = free
+    K4 = np.eye(4, dtype=np.float64)
+    K4[0, 0], K4[1, 1] = intr[0], intr[1]
+    K4[0, 2], K4[1, 2] = intr[2], intr[3]
+    Ti0 = np.eye(4, dtype=np.float64)
+    Ti0[0, 3] = -0.1  # stereo baseline along x
+    miscs = np.zeros(ks.KS2_MISC_ROWS * 16, np.float32)
+    miscs[ks.M2_P1] = K4.reshape(16)
+    miscs[ks.M2_P2R] = (K4 @ Ti0).reshape(16)
+    miscs[ks.M2_INTR_R] = intr
+    miscs[ks.M2_INTR_L] = intr
+    miscs[ks.M2_CELL_DETECT] = 2
+    miscs[ks.M2_NB_DETECT] = cap - n
+    miscs[ks.M2_NFREE] = cap - n
+    miscs[ks.M2_TI0] = Ti0.reshape(16)
+    state[cap + ks.N_GROUPS:] = miscs.reshape(ks.KS2_MISC_ROWS, 16)
+    return carry, img, state, dict(levels=levels, window=window, pad=pad,
+                                   height=height, width=width)
+
+
+def dryrun_mapper_offload(n_devices: int):
+    """The mapper-offload multi-chip configuration: the PRODUCTION
+    keyframe program (ops/keyframe_step.py::keyframe_step_carry) placed on
+    a SECOND device while track_step dispatches continue on device 0 —
+    the configuration PERF.md's keyframe-speculation post-mortem concludes
+    is the single-sequence FPS lever once a second chip exists. Validates
+    that (1) the keyframe program compiles + executes off the default
+    device, (2) tracking overlaps it on device 0 without contention, and
+    (3) the offloaded outputs match the on-device-0 run (parity), so
+    grafting the post-keyframe carry back is safe."""
+    from ..ops import keyframe_step as ks
+    from ..ops import track_step as ts
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        raise RuntimeError("dryrun_mapper_offload needs >= 2 devices")
+    dev_track, dev_kf = devs[0], devs[1]
+
+    carry, img, state, dims = make_offload_inputs()
+    step = functools.partial(
+        ts.track_step, essential_hypotheses=64, pnp_hypotheses=64, **dims
+    )
+    kf_step = functools.partial(ks.keyframe_step_carry, **dims)
+
+    key = np.asarray(jax.random.PRNGKey(0))
+    carry0 = jax.device_put(carry, dev_track)
+    img0 = jax.device_put(img, dev_track)
+    c1, per_kp, scalars = step(
+        carry0, img0, np.float32(0.1), jax.device_put(key, dev_track)
+    )
+
+    # Offload: ship the post-track carry + right image + state to device 1
+    # and run the keyframe program there...
+    kf_in = jax.device_put((c1, img, state), dev_kf)
+    kf_carry, kf_slot, kf_new = kf_step(*kf_in)
+    # ...while device 0 keeps tracking the SAME pre-keyframe carry
+    # (speculation past the keyframe, models/slam_manager.py).
+    c2, per_kp2, scalars2 = step(
+        c1, img0, np.float32(0.1), jax.device_put(key, dev_track)
+    )
+    jax.block_until_ready((kf_slot, per_kp2))
+    assert kf_slot.sharding.device_set == {dev_kf}, kf_slot.sharding
+    assert per_kp2.sharding.device_set == {dev_track}, per_kp2.sharding
+
+    # Parity: the same keyframe program on device 0.
+    ref_carry, ref_slot, ref_new = kf_step(c1, img0, jax.device_put(
+        jnp.asarray(state), dev_track))
+    np.testing.assert_array_equal(np.asarray(kf_slot), np.asarray(ref_slot))
+    np.testing.assert_array_equal(np.asarray(kf_new), np.asarray(ref_new))
+    np.testing.assert_array_equal(
+        np.asarray(kf_carry["kp"]), np.asarray(ref_carry["kp"])
+    )
+    return {
+        "kf_device": str(dev_kf),
+        "track_device": str(dev_track),
+        "n_new": int(np.asarray(kf_new)),
+        "tracked_overlap": int(np.asarray(per_kp2[:, 7] > 0).sum()),
     }

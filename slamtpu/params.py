@@ -19,6 +19,25 @@ class Params:
     pyramid_sigma: float = 1.0
     window_size: int = 9              # LK half-window
     initial_parallax: float = 20.0
+    # Emergency keyframe floor: a KF fires (past the parallax gate) when
+    # the frame's 3D-keypoint count falls below this (front_end.jl:372-374
+    # hardcodes 20). Mono pose noise grows sharply below ~30 tracked 3D
+    # points (PERF.md r5 mono drift decomposition: the per-step scale
+    # spikes all land on frames with <35 P3P candidates), so the mono
+    # pipeline may raise it; 20 keeps reference semantics.
+    kf_emergency_3d: int = 20
+    # Minimum rotation-compensated parallax (px) between the first-observer
+    # keyframe and the current one for a temporal-DLT 2D->3D promotion.
+    # The reference promotes EVERY low-parallax triangulation (its gates
+    # at mapper.jl:244-260 only reject when parallax > 20), which on
+    # low-motion mono sequences injects depth-biased points: with ~1 px
+    # tracking noise, depth error ~ noise/parallax, and the skewed error
+    # (1/disparity) inflates the map scale every keyframe (PERF.md r5 mono
+    # drift decomposition: per-anchor-KF map scale 1.11 -> 2.12 over five
+    # KFs). Points below the floor stay 2D and re-triangulate at a later
+    # keyframe against the SAME first observer, i.e. with a strictly wider
+    # baseline. 0.0 = reference semantics.
+    min_triangulation_parallax: float = 0.0
     max_reprojection_error: float = 3.0
     min_cov_score: int = 25
     do_local_matching: bool = False
@@ -135,6 +154,15 @@ class Params:
     # (18.7 -> 12.0 FPS, sm.upload_async 13 -> 38 ms steady). Default off;
     # revisit on a locally-attached backend with true async streams.
     track_prefetch: bool = False
+    # Fetch frame N+1's track outputs in the same device_get RPC as frame
+    # N's at apply time (device_get batches buffers into one round trip,
+    # PERF.md r5 fetch probe). Subject to the same transport hazard as
+    # track_prefetch: if frame N+1's program has not finished executing,
+    # the batched fetch blocks the CRITICAL PATH for the residual exec
+    # time. Interleaved in-process A/B (PERF.md r5): ON median 15.37 FPS
+    # vs OFF 14.23 on the city bench — the batched RPC saving wins over
+    # the occasional early-fetch wait, so ON is the default.
+    pair_fetch: bool = True
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —

@@ -110,3 +110,14 @@ def test_dryrun_ba():
 
     info = dryrun_ba(8)
     assert info["mesh"] == {"data": 4, "model": 2}
+
+
+def test_mapper_offload_parity():
+    """The PRODUCTION keyframe program on a SECOND device, overlapping a
+    track_step on device 0, must bit-match the device-0 run (VERDICT r5
+    item 6: the mapper-offload multi-chip configuration)."""
+    from slamtpu.parallel.multi import dryrun_mapper_offload
+
+    info = dryrun_mapper_offload(2)  # asserts parity internally
+    assert info["kf_device"] != info["track_device"]
+    assert info["tracked_overlap"] > 0
