@@ -152,6 +152,8 @@ def make_params(stereo: bool, threaded: bool):
         params.speculate_keyframes = os.environ["BENCH_SPEC_KF"] == "1"
     if os.environ.get("BENCH_PAIR_FETCH"):
         params.pair_fetch = os.environ["BENCH_PAIR_FETCH"] == "1"
+    if os.environ.get("BENCH_FETCH_BATCH"):
+        params.fetch_batch = int(os.environ["BENCH_FETCH_BATCH"])
     if os.environ.get("BENCH_TRACK_PREFETCH"):
         params.track_prefetch = os.environ["BENCH_TRACK_PREFETCH"] == "1"
     return params
@@ -299,7 +301,6 @@ def main():
                          threaded=threaded)
             r.pop("removal_causes", None)
             r.pop("frames", None)
-            r.pop("gate_candidates", None)
             result[other] = r
         except Exception as e:  # pragma: no cover
             result[other] = {"error": str(e)[:200]}
@@ -308,7 +309,6 @@ def main():
             r = run_once(primary_loaded, stereo=False, threaded=threaded)
             r.pop("removal_causes", None)
             r.pop("frames", None)
-            r.pop("gate_candidates", None)
             result["mono"] = r
         except Exception as e:  # pragma: no cover
             result["mono"] = {"error": str(e)[:200]}

@@ -19,9 +19,16 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# Default CPU (deterministic, no tunnel); MD_TPU=1 runs on the real chip —
+# the same backend the bench's mono block measures, and ~10x faster per
+# 60-frame run for knob A/Bs (but do NOT run concurrently with a bench:
+# single-CPU contention, PERF.md r5).
+if not os.environ.get("MD_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 logging.basicConfig(level=logging.WARNING, format="%(name)s %(message)s")
 
 from slamtpu import Params, ReplaySaver, SlamManager  # noqa: E402

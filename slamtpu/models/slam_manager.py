@@ -275,19 +275,35 @@ class SlamManager:
             elif (
                 self.params.pair_fetch
                 and fe.inflight and rec.prefetch is None
-                and fe.inflight[0].prefetch is None
                 # Right after a keyframe the queue holds fresh replay
                 # dispatches whose exec runs BEHIND the keyframe program;
                 # a fetch of unfinished outputs holds the tunnel transport
-                # (PERF.md r5 contention probe), so pair-fetch only once
+                # (PERF.md r5 contention probe), so batched fetch only once
                 # the chain has drained past the keyframe.
                 and rec.fid - fe._last_kf_fid >= 3
             ):
-                nxt = fe.inflight[0]
-                per_kp, scalars, n_pk, n_sc = jax.device_get(
-                    (rec.per_kp, rec.scalars, nxt.per_kp, nxt.scalars)
-                )
-                nxt.fetched = (n_pk, n_sc)
+                # Fetch up to fetch_batch frames' results in ONE device_get
+                # RPC (device_get batches buffers into one round trip,
+                # PERF.md r5 fetch probe) and stash the extras. The apply
+                # drain runs BEFORE dispatch, so every in-flight program was
+                # dispatched >= 1 frame period (~50 ms) ago — past its
+                # ~16 ms exec — and the batched fetch incurs no exec wait
+                # at steady state.
+                extras = []
+                for nxt in fe.inflight:
+                    if len(extras) >= self.params.fetch_batch - 1:
+                        break
+                    if nxt.prefetch is not None or nxt.fetched is not None:
+                        break
+                    extras.append(nxt)
+                bufs = [rec.per_kp, rec.scalars]
+                for nxt in extras:
+                    bufs.append(nxt.per_kp)
+                    bufs.append(nxt.scalars)
+                out = jax.device_get(tuple(bufs))
+                per_kp, scalars = out[0], out[1]
+                for j, nxt in enumerate(extras):
+                    nxt.fetched = (out[2 + 2 * j], out[3 + 2 * j])
             else:
                 per_kp, scalars = rec.fetch()
         is_kf_required = fe.pipeline_apply(rec, per_kp, scalars, self.slam_io)

@@ -163,6 +163,14 @@ class Params:
     # vs OFF 14.23 on the city bench — the batched RPC saving wins over
     # the occasional early-fetch wait, so ON is the default.
     pair_fetch: bool = True
+    # How many frames' track outputs ride one fetch RPC when pair_fetch is
+    # on (2 = the original pair fetch). The apply drain runs pre-dispatch,
+    # so every in-flight program was dispatched >= 1 frame period ago and
+    # deeper batching adds no exec wait at steady state; it does waste the
+    # stashed results when a keyframe discards+replays the in-flight
+    # window. Interleaved A/B on the tunnel (PERF.md r5 churn/fetch table)
+    # adjudicates the default.
+    fetch_batch: int = 2
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —
