@@ -168,9 +168,10 @@ class Params:
     # so every in-flight program was dispatched >= 1 frame period ago and
     # deeper batching adds no exec wait at steady state; it does waste the
     # stashed results when a keyframe discards+replays the in-flight
-    # window. Interleaved A/B on the tunnel (PERF.md r5 churn/fetch table)
-    # adjudicates the default.
-    fetch_batch: int = 2
+    # window. Interleaved TPU A/B (PERF.md r5): 4 beat 2 in all three
+    # pairs (+1.5 FPS mean, identical trajectories); 4 also equals the
+    # speculative dispatch depth, so deeper cannot batch more.
+    fetch_batch: int = 4
     # Defer the BA fetch/apply by one keyframe (the reference's estimator
     # worker lag, estimator.jl:79-110). Besides overlapping the BA device
     # time with tracking, this keeps `local_ba_on` True between keyframes —
