@@ -381,6 +381,10 @@ class FrontEnd:
         n = len(ids)
         rc = self.removal_counts
         pose_source = "mm"
+        # Motion-model prediction (set by the caller just before this
+        # apply) — kept for the mono pose-step sanity gate below.
+        pred_wc = np.asarray(frame.wc, np.float64).copy()
+        pose_5pt = None
 
         # 1. KLT keypoint updates/removals (map_manager.jl:524-562).
         ok = per_kp[:n, 7] > 0
@@ -486,6 +490,43 @@ class FrontEnd:
                     slam_io,
                 )
                 pose_source = "pnp"
+
+        # Mono pose-step sanity gate (TPU-repo addition, params.py
+        # max_pose_step_ratio). Starved map geometry (few, FOE-clustered
+        # 3D points in the frames before a keyframe) lets P3P/PnP converge
+        # to a low-residual pose that slides 10-30x the true step along
+        # the optical axis; a keyframe then triangulates with that
+        # baseline and the next segment's PnP locks to the inflated map —
+        # a per-keyframe scale ratchet (PERF.md r5 mono decomposition:
+        # est/gt step ratio spikes exactly one frame before each KF).
+        # When the PnP step exceeds ratio x the constant-velocity
+        # prediction, fall back to the 5-pt essential pose (vision-based
+        # direction, motion-model scale — front_end.jl:321-330), or the
+        # prediction itself when no essential pose fired. Mono only:
+        # stereo PnP scale is depth-constrained and never starves this way.
+        ratio_gate = self.params.max_pose_step_ratio
+        if (ratio_gate > 0 and not self.params.stereo
+                and pose_source in ("p3p", "pnp")
+                and self.motion_model.prev_time >= 0):
+            prev_t = np.asarray(self.motion_model.prev_wc, np.float64)[:3, 3]
+            pred_step = float(np.linalg.norm(pred_wc[:3, 3] - prev_t))
+            est_step = float(
+                np.linalg.norm(np.asarray(frame.wc, np.float64)[:3, 3]
+                               - prev_t)
+            )
+            import os as _os
+            if _os.environ.get("SLAMTPU_DEBUG_POSE_GATE"):
+                print(f"POSE_GATE f{frame.id} pred_step={pred_step:.4f} "
+                      f"est_step={est_step:.4f} src={pose_source}",
+                      flush=True)
+            if pred_step > 1e-4 and est_step > ratio_gate * pred_step:
+                if pose_5pt is not None and mm.nb_keyframes > 2 \
+                        and not stale_parallax:
+                    frame.set_cw(pose_5pt, slam_io)
+                    pose_source = "5pt_gate"
+                else:
+                    frame.set_wc(pred_wc, slam_io)
+                    pose_source = "mm_gate"
 
         self.pose_trace.append(
             (frame.id, pose_source, int(scalars[43]), int(scalars[44]),

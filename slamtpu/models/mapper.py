@@ -760,8 +760,8 @@ class Mapper:
         log.debug("[MP] Fused KF stereo: %d matched, %d triangulated.",
                   n_stereo, n_tri)
 
-        # Temporal DLT gates (mapper.jl:239-260): gates only reject when
-        # parallax > 20 px (low-parallax acceptance).
+        # Temporal DLT gates (mapper.jl:239-260; strict_triangulation_gates
+        # additionally keeps low-parallax FAILING points 2D, params.py).
         n_temp = 0
         group_of_kfid = {gd[0]: g for g, gd in enumerate(group_data)}
         for j, kpid in enumerate(ids):
@@ -796,24 +796,22 @@ class Mapper:
             if abs(X[3]) < 1e-12:
                 continue
             left_point = X / X[3]
-            if left_point[2] < 0.1 and parallax > 20.0:
-                mm.remove_mappoint_obs(okp.id, frame.kfid)
-                continue
             right_point = rel_inv @ left_point
-            if right_point[2] < 0.1 and parallax > 20.0:
-                mm.remove_mappoint_obs(okp.id, frame.kfid)
-                continue
             lrepr_t = np.linalg.norm(
                 frame.camera.project(left_point[:3]) - okp.undistorted_pixel
             )
-            if lrepr_t > max_error and parallax > 20.0:
-                mm.remove_mappoint_obs(okp.id, frame.kfid)
-                continue
             rrepr_t = np.linalg.norm(
                 frame.camera.project(right_point[:3]) - kp.undistorted_pixel
             )
-            if rrepr_t > max_error and parallax > 20.0:
+            bad = (left_point[2] < 0.1 or right_point[2] < 0.1
+                   or lrepr_t > max_error or rrepr_t > max_error)
+            if bad and parallax > 20.0:
+                # Reference removal (mapper.jl:244-260).
                 mm.remove_mappoint_obs(okp.id, frame.kfid)
+                continue
+            if bad and self.params.strict_triangulation_gates:
+                # Low-parallax failure: stay 2D, retry at a later KF
+                # (params.strict_triangulation_gates).
                 continue
             wpt = okf.project_camera_to_world(left_point[:3])
             mm.update_mappoint(kpid, wpt)
@@ -1098,24 +1096,23 @@ class Mapper:
                 if abs(lp[3]) < 1e-12:
                     continue
                 left_point = lp / lp[3]
-                if left_point[2] < 0.1 and parallax > 20.0:
-                    mm.remove_mappoint_obs(okp.id, frame.kfid)
-                    continue
                 right_point = rel_pose_inv @ left_point
-                if right_point[2] < 0.1 and parallax > 20.0:
-                    mm.remove_mappoint_obs(okp.id, frame.kfid)
-                    continue
                 lrepr = np.linalg.norm(
                     frame.camera.project(left_point[:3]) - okp.undistorted_pixel
                 )
-                if lrepr > max_error and parallax > 20.0:
-                    mm.remove_mappoint_obs(okp.id, frame.kfid)
-                    continue
                 rrepr = np.linalg.norm(
                     frame.camera.project(right_point[:3]) - kp.undistorted_pixel
                 )
-                if rrepr > max_error and parallax > 20.0:
+                bad = (left_point[2] < 0.1 or right_point[2] < 0.1
+                       or lrepr > max_error or rrepr > max_error)
+                if bad and parallax > 20.0:
+                    # Reference removal (mapper.jl:244-260).
                     mm.remove_mappoint_obs(okp.id, frame.kfid)
+                    continue
+                if bad and self.params.strict_triangulation_gates:
+                    # Low-parallax failure: stay 2D, retry at a later KF
+                    # (params.strict_triangulation_gates; the reference
+                    # falls through and promotes the bad depth).
                     continue
                 wpt = observer_kf.project_camera_to_world(left_point[:3])
                 mm.update_mappoint(kp.id, wpt)

@@ -38,6 +38,29 @@ class Params:
     # keyframe against the SAME first observer, i.e. with a strictly wider
     # baseline. 0.0 = reference semantics.
     min_triangulation_parallax: float = 0.0
+    # Require every temporal-DLT promotion to pass the positive-depth and
+    # <= max_reprojection_error checks. The reference ties those checks to
+    # its REMOVAL decision (`cond && parallax > 20 && (remove; continue)`,
+    # mapper.jl:244-260), so at parallax <= 20 a FAILING point falls
+    # through and is promoted anyway — negative depths and 100+ px
+    # residuals enter the map whenever parallax is low, which is exactly
+    # when mono depth is least observable (PERF.md r5 mono decomposition:
+    # per-anchor-KF map range ratio up to 5.9x, NN dist 441 on the city
+    # scene). With this on, a failing low-parallax point stays 2D and
+    # re-triangulates at a later keyframe with a wider baseline; failing
+    # high-parallax points are still removed (reference semantics).
+    # False = bit-exact reference fallthrough.
+    strict_triangulation_gates: bool = True
+    # Mono pose-step sanity gate: reject a P3P/PnP pose whose translation
+    # step exceeds this ratio x the constant-velocity prediction, falling
+    # back to the 5-pt essential pose (vision direction, motion-model
+    # scale). Starved pre-keyframe frames (few, FOE-clustered 3D points)
+    # otherwise produce low-residual poses sliding 10-30x the true step,
+    # and the keyframe triangulated from that pose ratchets the map scale
+    # every generation (PERF.md r5 mono decomposition). 0 disables
+    # (reference semantics: no such gate, front_end.jl:168-218). Ignored
+    # for stereo (depth-constrained PnP never starves this way).
+    max_pose_step_ratio: float = 3.0
     max_reprojection_error: float = 3.0
     min_cov_score: int = 25
     do_local_matching: bool = False
